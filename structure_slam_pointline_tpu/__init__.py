@@ -1,0 +1,27 @@
+"""TPU-native monocular point+line SLAM engine (JAX / XLA / Pallas / pjit).
+
+A brand-new framework with the capabilities of Structure-SLAM (PointLine)
+(reference: yanyan-li/Structure-SLAM-PointLine), re-designed TPU-first:
+
+- batched feature front-end (image pyramid, FAST, oriented BRIEF, line
+  segments + band descriptors) with fixed shapes and validity masks,
+- matmul-based binary descriptor matching on the MXU,
+- batched RANSAC two-view initialization,
+- a single JAX Levenberg-Marquardt engine driving pose-only optimization,
+  local bundle adjustment (sparse Schur complement over landmarks), Sim3
+  solves and essential-graph pose-graph optimization,
+- struct-of-arrays map store (keyframes / map points / map lines) with
+  fixed capacities and alive masks instead of pointer graphs + mutexes,
+- bag-of-words place recognition as a fixed-depth vocabulary-tree argmin
+  chain on device,
+- distributed bundle adjustment over a `jax.sharding.Mesh` (edge-sharded
+  Hessian build, psum-reduced Schur camera system over ICI).
+
+The reference's thread pipeline (Tracking / LocalMapping / LoopClosing,
+src/System.cc:94-105) becomes host-orchestrated jitted steps over versioned
+array snapshots; there are no mutexes.
+"""
+
+__version__ = "0.1.0"
+
+from structure_slam_pointline_tpu.config import SLAMConfig  # noqa: F401

@@ -1,0 +1,179 @@
+"""Typed configuration for the TPU point+line SLAM engine.
+
+One dataclass covers both what the reference reads from OpenCV YAML
+(camera intrinsics / distortion / fps / ORB params, reference
+src/Tracking.cc:48-127) and the thresholds the reference hardcodes
+(catalog: ORBmatcher.cc:37-39, Optimizer.cc:700-701/870-872,
+Tracking.cc:1371-1453, LocalMapping.cc:305-361/1443).
+
+All sizes that shape device arrays are static (fixed capacities + masks),
+so every pipeline step has static shapes under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera with radial-tangential distortion (Tracking.cc:49-81)."""
+
+    fx: float = 481.20
+    fy: float = -480.00  # ICL-NUIM negative-fy convention (Examples/ICL.yaml:8-11)
+    cx: float = 319.50
+    cy: float = 239.50
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    width: int = 640
+    height: int = 480
+    fps: float = 30.0
+
+    @property
+    def has_distortion(self) -> bool:
+        return any(abs(v) > 0 for v in (self.k1, self.k2, self.p1, self.p2, self.k3))
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Feature extraction budgets (Examples/ICL.yaml:40, Tracking.cc:119-120,
+    ExtractLineSegment.cpp:42)."""
+
+    n_keypoints: int = 1024          # run-time ORB budget (ref: 1000, padded to 2^k)
+    n_keypoints_init: int = 2048     # doubled budget during initialization (ref: 2000)
+    n_levels: int = 8                # pyramid levels (ORBextractor.cc ctor)
+    scale_factor: float = 1.2
+    fast_threshold: float = 20.0     # iniThFAST (Examples/ICL.yaml:49)
+    fast_min_threshold: float = 7.0  # minThFAST fallback (Examples/ICL.yaml:52)
+    cell_size: int = 32              # selection grid cell (ref: 30px, ComputeKeyPointsOctTree)
+    patch_radius: int = 15           # IC_Angle / BRIEF patch half-size (ORBextractor.cc:63)
+    n_brief_pairs: int = 256         # 256-bit descriptor
+    blur_sigma: float = 2.0          # GaussianBlur(7,7,2,2) before describe (ORBextractor.cc:1067)
+
+    n_lines: int = 64                # line budget (ref keeps top-40, ExtractLineSegment.cpp:42-51)
+    line_anchor_count: int = 512     # candidate anchors for line growing
+    line_walk_steps: int = 96        # max growth steps each direction (fixed-iteration)
+    line_grad_threshold: float = 10.0
+    line_angle_tol: float = 0.3926990816987  # 22.5 deg orientation alignment tolerance
+    line_min_length: float = 24.0    # min segment length in px
+
+    grid_cols: int = 64              # feature lookup grid (Frame.h:45-46: 64x48)
+    grid_rows: int = 48
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchingConfig:
+    """Descriptor matching thresholds (ORBmatcher.cc:37-39, LSDmatcher.cpp:15-16)."""
+
+    th_high: int = 100
+    th_low: int = 50
+    histo_bins: int = 30             # rotation-consistency histogram
+    nn_ratio_tracking: float = 0.9   # SearchByProjection ratio (Tracking.cc:1221)
+    nn_ratio_bow: float = 0.7        # TrackReferenceKeyFrame ratio (Tracking.cc:1016)
+    nn_ratio_init: float = 0.9       # SearchForInitialization (Tracking.cc:364)
+    search_radius_motion: float = 15.0   # window for motion-model search (th=7..15, ORBmatcher)
+    search_radius_reloc: float = 10.0
+    line_mad_ratio: float = 0.75     # MAD-normalized line ratio test (LSDmatcher.cpp:168-180)
+
+
+@dataclasses.dataclass(frozen=True)
+class InitConfig:
+    """Two-view monocular bootstrap (Initializer.cc:55-153)."""
+
+    ransac_iters: int = 200
+    sigma: float = 1.0
+    min_matches: int = 100           # Tracking.cc:371
+    rh_threshold: float = 0.40       # model select RH=SH/(SH+SF) (Initializer.cc:143)
+    min_triangulated: int = 50
+    min_parallax_deg: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """LM budgets + chi2 gates (Optimizer.cc:700-701, 870-872, 1475, 1522)."""
+
+    pose_rounds: int = 4             # 4 rounds x 10 iters pose-only LM
+    pose_iters: int = 10
+    chi2_mono: float = 5.991         # 2-DoF 95% gate for point edges
+    chi2_line: float = 5.991         # per line-endpoint gate (Optimizer.cc:870-872 uses 2x5.991/line)
+    huber_delta_point: float = 2.4477  # sqrt(5.991) (Optimizer.cc:700)
+    huber_delta_line: float = 2.7955   # sqrt(7.815) (Optimizer.cc:701)
+    local_ba_iters_first: int = 5
+    local_ba_iters_second: int = 10
+    lm_lambda_init: float = 1e-4
+    lm_lambda_essential: float = 1e-16  # essential-graph solver init (Optimizer.cc:1609)
+    sim3_iters: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Fixed pool capacities for the struct-of-arrays map store."""
+
+    max_keyframes: int = 256
+    max_points: int = 32768
+    max_lines: int = 2048
+    max_obs_per_point: int = 24      # padded observation table width
+    max_obs_per_line: int = 16
+    local_window_kf: int = 20        # covisibility neighborhood (LocalMapping.cc:371)
+    covis_threshold: int = 15        # essential covisibility weight (KeyFrame.cc:301-415)
+    point_cull_found_ratio: float = 0.25  # LocalMapping.cc:305
+    line_cull_found_ratio: float = 0.60   # LocalMapping.cc:351
+    kf_cull_redundancy: float = 0.90      # LocalMapping.cc:1443
+
+
+@dataclasses.dataclass(frozen=True)
+class BoWConfig:
+    """Vocabulary-tree place recognition (DBoW2-equivalent).
+
+    A self-trained k-ary binary-descriptor tree laid out level-major so
+    transform() is a fixed-depth argmin chain on device.
+    """
+
+    branching: int = 8
+    depth: int = 4                   # 8^4 = 4096 leaves
+    feature_level_up: int = 2        # FeatureVector node level = depth - level_up
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe decision thresholds (Tracking.cc:1380-1479)."""
+
+    min_frames: int = 0
+    max_frames: int = 30             # = fps
+    min_tracked_ratio: float = 0.9   # thRefRatio for mono
+    min_inliers: int = 30
+    min_matches_reloc: int = 15
+
+
+@dataclasses.dataclass(frozen=True)
+class SLAMConfig:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    matching: MatchingConfig = dataclasses.field(default_factory=MatchingConfig)
+    init: InitConfig = dataclasses.field(default_factory=InitConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    bow: BoWConfig = dataclasses.field(default_factory=BoWConfig)
+    keyframe: KeyframeConfig = dataclasses.field(default_factory=KeyframeConfig)
+    seed: int = 0                    # deterministic RANSAC (ref: DUtils::Random seed 0)
+    use_lines: bool = True
+    enable_loop_closing: bool = False  # reference ships with the thread disabled (System.cc:98)
+
+    def replace(self, **kw) -> "SLAMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def icl_nuim_config() -> SLAMConfig:
+    """ICL-NUIM living-room config (Examples/ICL.yaml)."""
+    return SLAMConfig()
+
+
+def tum3_config() -> SLAMConfig:
+    """TUM freiburg3 config (Examples/TUM3.yaml)."""
+    return SLAMConfig(
+        camera=CameraConfig(fx=535.4, fy=539.2, cx=320.1, cy=247.6, width=640, height=480)
+    )
