@@ -1,0 +1,155 @@
+"""FAST-16 corner response, NMS, and spatially-uniform top-K selection.
+
+TPU-native replacement for `ORBextractor::ComputeKeyPointsOctTree` +
+`DistributeOctTree` (reference src/ORBextractor.cc:539-852). Instead of
+per-cell scalar FAST plus a host-side quadtree, the whole level is scored
+densely on the VPU:
+
+- the 16-pixel Bresenham circle becomes 16 shifted copies of the image,
+- the "arc of >=9 contiguous brighter/darker" test and the OpenCV-style
+  score (max threshold that keeps the corner) reduce to a circular
+  sliding-window min over the 16 axis followed by a max over windows,
+- 3x3 NMS is a max-pool equality,
+- the octree's spatial uniformity is replicated with a per-cell top-C cap
+  followed by a global top-K over cell-ranked scores (fixed K + validity
+  mask instead of data-dependent keypoint counts).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Bresenham circle of radius 3 (standard FAST-16 offsets, clockwise).
+_CIRCLE = np.asarray(
+    [
+        (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
+        (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2), (-1, 3),
+    ],
+    np.int32,
+)  # (dx, dy)
+
+ARC_LEN = 9  # contiguous arc length for FAST-9/16
+
+
+def fast_score(img: jnp.ndarray) -> jnp.ndarray:
+    """Dense FAST corner score [H, W].
+
+    score(p) = max over the 16 arcs of length 9 of min |I(c_i) - I(p)| where
+    all arc pixels are consistently brighter or darker — i.e. the largest
+    threshold t for which p is still a FAST-9 corner (OpenCV score).
+    Border pixels (3 px) get score 0.
+    """
+    h, w = img.shape
+    # d[k] = I(circle_k) - I(p) for all p, via jnp.roll (cheap on TPU)
+    diffs = jnp.stack(
+        [jnp.roll(img, shift=(int(dy), int(dx)), axis=(0, 1)) for dx, dy in -_CIRCLE],
+        axis=0,
+    ) - img[None]
+    # circular min over windows of 9 along axis 0: window_min[k] = min(d[k..k+8])
+    def window_min(x):
+        m = x
+        # 9 = 4 + 4 + 1 via doubling: min over 2, then 4, then 8, then 9
+        m2 = jnp.minimum(m, jnp.roll(m, -1, axis=0))      # window 2
+        m4 = jnp.minimum(m2, jnp.roll(m2, -2, axis=0))    # window 4
+        m8 = jnp.minimum(m4, jnp.roll(m4, -4, axis=0))    # window 8
+        return jnp.minimum(m8, jnp.roll(m, -8, axis=0))   # window 9
+
+    bright = jnp.max(window_min(diffs), axis=0)   # all arc pixels brighter by >= t
+    dark = jnp.max(window_min(-diffs), axis=0)    # all darker
+    score = jnp.maximum(bright, dark)
+    score = jnp.maximum(score, 0.0)
+    # zero the 3px border (circle would wrap around)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    valid = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    return jnp.where(valid, score, 0.0)
+
+
+def nms3(score: jnp.ndarray) -> jnp.ndarray:
+    """Keep only 3x3 local maxima.
+
+    Plateaus of tied scores are broken with a deterministic sub-ULP jitter
+    keyed on pixel position, so each 3x3 neighborhood has a unique max
+    (synthetic images produce exact ties; real ones rarely do).
+    """
+    h, w = score.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    jitter = ((yy * 131 + xx * 31) % 251).astype(score.dtype) * 1e-5
+    s = jnp.where(score > 0, score + jitter, score)
+    pooled = jax.lax.reduce_window(
+        s, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where(s >= pooled, score, 0.0)
+
+
+@partial(jax.jit, static_argnames=("k", "cell", "cell_cap", "threshold", "min_threshold", "border"))
+def select_keypoints(
+    score: jnp.ndarray,
+    k: int,
+    cell: int = 32,
+    cell_cap: int = 8,
+    threshold: float = 20.0,
+    min_threshold: float = 7.0,
+    border: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Spatially-uniform top-k: per-cell cap then global top-k.
+
+    Returns (xy [k, 2] float32 (x, y), response [k], valid [k] bool).
+
+    Corners scoring >= `threshold` are preferred; cells without strong
+    corners fall back to >= `min_threshold` (the reference's two-threshold
+    scheme, ORBextractor.cc:800-812). A per-cell cap of `cell_cap`
+    replicates DistributeOctTree's spatial spreading.
+    """
+    h, w = score.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    in_border = (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
+    s = jnp.where(in_border & (score >= min_threshold), score, 0.0)
+    # boost strong corners so weak ones only fill leftover slots
+    strong_bonus = jnp.where(s >= threshold, 1e4, 0.0)
+    s_ranked = jnp.where(s > 0, s + strong_bonus, -jnp.inf)
+
+    # pad to cell multiples
+    ph = (cell - h % cell) % cell
+    pw = (cell - w % cell) % cell
+    sp = jnp.pad(s_ranked, ((0, ph), (0, pw)), constant_values=-jnp.inf)
+    hp, wp = h + ph, w + pw
+    ncy, ncx = hp // cell, wp // cell
+    cells = sp.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(ncy * ncx, cell * cell)
+
+    cap = min(cell_cap, cell * cell)
+    top_s, top_i = jax.lax.top_k(cells, cap)  # [ncells, cap]
+    # reconstruct absolute coordinates
+    cy = jax.lax.broadcasted_iota(jnp.int32, (ncy * ncx, cap), 0) // ncx
+    cx = jax.lax.broadcasted_iota(jnp.int32, (ncy * ncx, cap), 0) % ncx
+    ly = top_i // cell
+    lx = top_i % cell
+    abs_y = cy * cell + ly
+    abs_x = cx * cell + lx
+
+    flat_s = top_s.reshape(-1)
+    flat_y = abs_y.reshape(-1)
+    flat_x = abs_x.reshape(-1)
+    kk = min(k, flat_s.shape[0])
+    sel_s, sel_i = jax.lax.top_k(flat_s, kk)
+    sel_y = flat_y[sel_i]
+    sel_x = flat_x[sel_i]
+    valid = jnp.isfinite(sel_s) & (sel_s > 0)
+    resp = jnp.where(sel_s >= 1e4, sel_s - 1e4, sel_s)  # undo bonus
+    xy = jnp.stack([sel_x, sel_y], axis=-1).astype(jnp.float32)
+    if kk < k:  # pad up to k
+        pad = k - kk
+        xy = jnp.concatenate([xy, jnp.zeros((pad, 2), jnp.float32)])
+        resp = jnp.concatenate([resp, jnp.zeros((pad,), resp.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return xy, resp, valid
+
+
+__all__ = ["fast_score", "nms3", "select_keypoints", "ARC_LEN"]

@@ -1,0 +1,143 @@
+"""Oriented BRIEF descriptors: IC-angle orientation + rotation-aware
+binary tests, fully batched.
+
+TPU-native replacement for `IC_Angle` / `computeOrbDescriptor`
+(reference src/ORBextractor.cc:77-148). Design differences from the
+reference (deliberate, TPU-first):
+
+- The 256 binary test pairs are *generated* from the original BRIEF
+  recipe (isotropic Gaussian, sigma = patch/5, fixed seed) rather than
+  copied from the learned table; matching quality — not bit parity — is
+  the contract (SURVEY.md §7 stage 2).
+- Rotation is discretized to 32 steps (11.25 deg); all 32 rotated pair
+  tables are precomputed as integer offsets, so descriptor extraction is
+  one table select + one gather per keypoint — no per-keypoint trig.
+- Descriptors are returned both packed (uint32[8], for storage) and as
+  the packing is cheap; matching unpacks to int8 on the fly to run
+  Hamming distance as an MXU matmul (ops/hamming.py).
+
+Patches are gathered once per keypoint ([K, 31, 31]) and shared by the
+orientation moment sums and the descriptor taps.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PATCH_RADIUS = 15
+PATCH = 2 * PATCH_RADIUS + 1  # 31
+N_PAIRS = 256
+N_ROT = 32
+_MAX_OFF = 13  # pair offsets within this disc stay inside the patch after rotation
+
+
+def _make_pattern(seed: int = 7) -> np.ndarray:
+    """[N_PAIRS, 2, 2] int32 (pair, point, (dx, dy)) — BRIEF-style G(0, (patch/5)^2)."""
+    g = np.random.default_rng(seed)
+    sigma = PATCH / 5.0
+    pts = []
+    while len(pts) < N_PAIRS * 2:
+        p = g.normal(0.0, sigma, size=2)
+        if np.hypot(*p) <= _MAX_OFF:
+            pts.append(p)
+    pat = np.asarray(pts[: N_PAIRS * 2], np.float32).reshape(N_PAIRS, 2, 2)
+    return pat
+
+
+def _rotated_tables() -> np.ndarray:
+    """[N_ROT, N_PAIRS, 2, 2] int32 rotated integer offsets (dx, dy)."""
+    pat = _make_pattern()
+    tables = []
+    for r in range(N_ROT):
+        a = 2.0 * np.pi * r / N_ROT
+        ca, sa = np.cos(a), np.sin(a)
+        R = np.asarray([[ca, -sa], [sa, ca]], np.float32)
+        rot = pat @ R.T
+        tables.append(np.round(rot).astype(np.int32))
+    t = np.stack(tables)
+    assert np.abs(t).max() <= PATCH_RADIUS
+    return t
+
+_TABLES = jnp.asarray(_rotated_tables())  # [32, 256, 2, 2]
+
+# circular mask + coordinate grids for IC_Angle (u_max circle like the reference)
+_yy, _xx = np.mgrid[-PATCH_RADIUS : PATCH_RADIUS + 1, -PATCH_RADIUS : PATCH_RADIUS + 1]
+_CIRC_MASK = jnp.asarray((_yy ** 2 + _xx ** 2 <= PATCH_RADIUS ** 2).astype(np.float32))
+_XGRID = jnp.asarray(_xx.astype(np.float32))
+_YGRID = jnp.asarray(_yy.astype(np.float32))
+
+
+def gather_patches(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Gather [K, 31, 31] patches centered at integer keypoints xy [K, 2].
+
+    Keypoints are clamped so patches stay inside the image (callers already
+    exclude a 16 px border at selection time).
+    """
+    h, w = img.shape
+    x = jnp.clip(xy[:, 0].astype(jnp.int32), PATCH_RADIUS, w - PATCH_RADIUS - 1)
+    y = jnp.clip(xy[:, 1].astype(jnp.int32), PATCH_RADIUS, h - PATCH_RADIUS - 1)
+
+    def one(cx, cy):
+        return jax.lax.dynamic_slice(
+            img, (cy - PATCH_RADIUS, cx - PATCH_RADIUS), (PATCH, PATCH)
+        )
+
+    return jax.vmap(one)(x, y)
+
+
+def ic_angle(patches: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation per patch [K] in radians.
+
+    Equivalent to IC_Angle (reference ORBextractor.cc:77-105) but over the
+    full circular disc via masked moment sums.
+    """
+    w = patches * _CIRC_MASK[None]
+    m10 = jnp.sum(w * _XGRID[None], axis=(1, 2))
+    m01 = jnp.sum(w * _YGRID[None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def describe(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
+    """Rotated BRIEF: [K, 31, 31] patches + [K] angles -> packed uint32 [K, 8]."""
+    k = patches.shape[0]
+    rot_idx = jnp.mod(
+        jnp.round(angles / (2.0 * jnp.pi) * N_ROT).astype(jnp.int32), N_ROT
+    )
+    offs = _TABLES[rot_idx]  # [K, 256, 2, 2] (dx, dy)
+    px = offs[..., 0] + PATCH_RADIUS  # [K, 256, 2]
+    py = offs[..., 1] + PATCH_RADIUS
+    flat = patches.reshape(k, PATCH * PATCH)
+    lin = py * PATCH + px  # [K, 256, 2]
+    # gather both tap points per pair
+    t = jnp.take_along_axis(flat[:, None, :], lin.reshape(k, 1, -1), axis=2).reshape(k, N_PAIRS, 2)
+    bits = (t[..., 0] < t[..., 1]).astype(jnp.uint32)  # [K, 256]
+    # pack 256 bits into 8 uint32 words
+    b = bits.reshape(k, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return jnp.sum(b << shifts, axis=2, dtype=jnp.uint32)
+
+
+def unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
+    """uint32 [..., 8] -> float/int bits [..., 256] in {0, 1} (int8)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (packed[..., :, None] >> shifts[None, :]) & jnp.uint32(1)
+    return bits.reshape(*packed.shape[:-1], 256).astype(jnp.int8)
+
+
+@partial(jax.jit)
+def orient_and_describe(img_blur: jnp.ndarray, xy: jnp.ndarray):
+    """Full per-level descriptor pass: (angles [K], packed desc uint32 [K, 8])."""
+    patches = gather_patches(img_blur, xy)
+    ang = ic_angle(patches)
+    desc = describe(patches, ang)
+    return ang, desc
+
+
+__all__ = [
+    "PATCH_RADIUS", "N_PAIRS", "N_ROT", "gather_patches", "ic_angle",
+    "describe", "unpack_bits", "orient_and_describe",
+]

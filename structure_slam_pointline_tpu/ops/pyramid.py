@@ -1,0 +1,80 @@
+"""Image pyramid + Gaussian blur, batched and jit-safe.
+
+TPU-native replacement for `ORBextractor::ComputePyramid`
+(reference src/ORBextractor.cc:1107-1133) and the pre-descriptor
+`GaussianBlur(7,7,2,2)` (ORBextractor.cc:1067). Levels have static shapes
+derived from the config at trace time; resizing is bilinear via
+`jax.image.resize`, blurring a separable 7-tap convolution on the VPU.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def level_shapes(height: int, width: int, n_levels: int, scale_factor: float) -> List[Tuple[int, int]]:
+    """Static (H, W) per level (level 0 = full resolution)."""
+    shapes = []
+    for lv in range(n_levels):
+        s = scale_factor ** lv
+        shapes.append((max(int(round(height / s)), 32), max(int(round(width / s)), 32)))
+    return shapes
+
+
+def level_scales(n_levels: int, scale_factor: float) -> np.ndarray:
+    return np.asarray([scale_factor ** lv for lv in range(n_levels)], np.float32)
+
+
+def gaussian_kernel1d(sigma: float, radius: int = 3) -> jnp.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return jnp.asarray(k / k.sum())
+
+
+def blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.ndarray:
+    """Separable Gaussian blur on a single-channel [H, W] image."""
+    k = gaussian_kernel1d(sigma, radius)
+    pad = radius
+    x = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
+    # depthwise 1D convs via conv_general_dilated on [1, 1, H, W]
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], k[None, None, :, None], (1, 1), "VALID"
+    )[0, 0]
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], k[None, None, None, :], (1, 1), "VALID"
+    )[0, 0]
+    return x
+
+
+@partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
+def build_pyramid(img: jnp.ndarray, n_levels: int = 8, scale_factor: float = 1.2):
+    """Grayscale [H, W] float32 -> list of per-level images (static shapes).
+
+    Each level is resized from the previous one (like the reference) rather
+    than from level 0, matching the cumulative smoothing behavior.
+    """
+    h, w = img.shape
+    shapes = level_shapes(h, w, n_levels, scale_factor)
+    levels = [img]
+    for lv in range(1, n_levels):
+        prev = levels[-1]
+        levels.append(jax.image.resize(prev, shapes[lv], method="bilinear"))
+    return levels
+
+
+@partial(jax.jit, static_argnames=("n_levels", "scale_factor", "sigma"))
+def build_blurred_pyramid(img: jnp.ndarray, n_levels: int = 8, scale_factor: float = 1.2,
+                          sigma: float = 2.0):
+    """Pyramid + per-level Gaussian blur (for descriptor sampling)."""
+    levels = build_pyramid(img, n_levels, scale_factor)
+    return levels, [blur(lv_img, sigma) for lv_img in levels]
+
+
+__all__ = ["level_shapes", "level_scales", "blur", "build_pyramid", "build_blurred_pyramid"]
