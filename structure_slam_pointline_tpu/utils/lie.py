@@ -38,13 +38,18 @@ def vee(W: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
 
 
+_SMALL_THETA2 = 1e-4  # float32: Taylor below theta ~ 0.01 beats cancellation
+
+
 def _sinc_factors(theta2: jnp.ndarray):
     """Return (A, B, C) = (sin t / t, (1-cos t)/t^2, (t - sin t)/t^3) stably."""
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
-    small = theta2 < _EPS
+    small = theta2 < _SMALL_THETA2
+    # clamp the generic branch away from 0 so its intermediates stay finite
+    t2 = jnp.maximum(theta2, _SMALL_THETA2)
+    theta = jnp.sqrt(t2)
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta))
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / t2)
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (t2 * theta))
     return A, B, C
 
 
@@ -65,11 +70,12 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     theta = jnp.arccos(cos_t)
     w_raw = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
     sin_t = jnp.sin(theta)
-    scale_generic = theta / jnp.where(jnp.abs(sin_t) < _EPS, 1.0, sin_t)
+    small = theta < 1e-2
+    scale_generic = theta / jnp.where(small | (jnp.abs(sin_t) < _EPS), 1.0, sin_t)
     scale_small = 1.0 + theta * theta / 6.0
     near_pi = cos_t < -1.0 + 1e-5
     w_generic = jnp.where(
-        (jnp.abs(sin_t) < _EPS)[..., None], w_raw * scale_small[..., None], w_raw * scale_generic[..., None]
+        small[..., None], w_raw * scale_small[..., None], w_raw * scale_generic[..., None]
     )
     # Near pi: axis from diagonal of (R + I)/2 = aa^T approx
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
@@ -121,7 +127,11 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     # V^{-1} = I - W/2 + (1/theta2)(1 - A/(2B)) W^2
-    coef = jnp.where(theta2 < _EPS, 1.0 / 12.0, (1.0 - A / (2.0 * B)) / jnp.maximum(theta2, _EPS))
+    coef = jnp.where(
+        theta2 < _SMALL_THETA2,
+        1.0 / 12.0 + theta2 / 720.0,
+        (1.0 - A / (2.0 * B)) / jnp.maximum(theta2, _SMALL_THETA2),
+    )
     Vinv = eye - 0.5 * W + coef[..., None, None] * W2
     v = (Vinv @ t[..., None])[..., 0]
     return jnp.concatenate([w, v], axis=-1)
