@@ -1,0 +1,189 @@
+"""Local bundle adjustment: batched LM with sparse Schur complement.
+
+TPU-native replacement for `Optimizer::LocalBundleAdjustment`
+(reference src/Optimizer.cc:1260-1593), which builds a g2o graph of
+local-covisibility keyframes + their map points (fixed frontier,
+landmarks marginalized via `setMarginalized(true)`) and runs 5 LM
+iterations, a chi2 outlier cut, then 10 more (Optimizer.cc:1475-1522).
+
+Here the problem arrives as dense fixed-shape blocks:
+
+- edges are the [KL, F] grid of the local keyframes' feature slots
+  (kf_kp_mp edge pool, see world/map_store.py) re-indexed to local
+  landmark ids — every residual/Jacobian evaluates in one vmapped pass,
+- per-camera 6x6 and per-point 3x3 Hessian blocks come from segment
+  sums (scatter-add) over that grid,
+- the camera-point coupling A[p, k] (6x3 per pair) is materialized
+  densely ([PL, KL, 6, 3]); the Schur complement
+  S = Hcc - A^T Hpp^-1 A and the point back-substitution are einsums —
+  MXU work instead of g2o's sparse block bookkeeping,
+- the reduced camera system (KL*6 square) is solved densely; fixed
+  cameras are projected out with masks.
+
+The same block construction, psum-reduced across an edge-sharded mesh,
+is the distributed BA in parallel/dist_ba.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from structure_slam_pointline_tpu.config import OptimConfig
+from structure_slam_pointline_tpu.optim import residuals as res
+from structure_slam_pointline_tpu.utils import lie
+from structure_slam_pointline_tpu.utils.camera import Intrinsics
+from structure_slam_pointline_tpu.utils.robust import huber_weight
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape local BA problem (all arrays device-resident)."""
+
+    kf_T_cw: jnp.ndarray     # [KL, 4, 4]
+    kf_free: jnp.ndarray     # [KL] bool (False = frontier / gauge fixed)
+    kf_valid: jnp.ndarray    # [KL] bool
+    obs_uv: jnp.ndarray      # [KL, F, 2]
+    obs_sigma2: jnp.ndarray  # [KL, F]
+    edge_mp: jnp.ndarray     # [KL, F] local landmark index or -1
+    edge_valid: jnp.ndarray  # [KL, F] bool
+    mp_xyz: jnp.ndarray      # [PL, 3]
+    mp_valid: jnp.ndarray    # [PL] bool
+
+
+class BAResult(NamedTuple):
+    kf_T_cw: jnp.ndarray     # [KL, 4, 4] optimized
+    mp_xyz: jnp.ndarray      # [PL, 3] optimized
+    edge_inlier: jnp.ndarray  # [KL, F] final chi2 classification
+    cost: jnp.ndarray
+
+
+def _edge_terms(prob: BAProblem, T, xyz, intr):
+    """Flat residual/Jacobian pass over the [KL, F] edge grid."""
+    KL, F = prob.edge_mp.shape
+    PL = xyz.shape[0]
+    mp = jnp.clip(prob.edge_mp, 0, PL - 1)
+    pts = xyz[mp]                                   # [KL, F, 3]
+
+    def per_kf(T_k, pts_k, uv_k):
+        return res.point_residuals(T_k, pts_k, uv_k, intr)
+
+    p = jax.vmap(per_kf)(T, pts, prob.obs_uv)
+    chi2 = jnp.sum(p.r * p.r, axis=-1) / jnp.maximum(prob.obs_sigma2, 1e-12)
+    return p, chi2
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def bundle_adjust(prob: BAProblem, intr: Intrinsics, cfg: OptimConfig) -> BAResult:
+    """Run the 5 + cut + 10 LM schedule on the local problem."""
+    KL, F = prob.edge_mp.shape
+    PL = prob.mp_xyz.shape[0]
+    dtype = prob.kf_T_cw.dtype
+    info = 1.0 / jnp.maximum(prob.obs_sigma2, 1e-12)
+
+    base_valid = (
+        prob.edge_valid
+        & (prob.edge_mp >= 0)
+        & prob.kf_valid[:, None]
+        & prob.mp_valid[jnp.clip(prob.edge_mp, 0, PL - 1)]
+    )
+    free_f = prob.kf_free.astype(dtype)
+
+    # landmarks need >= 2 edges to be solvable
+    def obs_count(ev):
+        ids = jnp.where(ev, prob.edge_mp, PL).reshape(-1)
+        return jnp.zeros(PL, jnp.int32).at[ids].add(1, mode="drop")
+
+    def lm_phase(T, xyz, edge_mask, n_iters, lam0):
+        cnt = obs_count(edge_mask)
+        pt_free = prob.mp_valid & (cnt >= 2)
+        pt_free_f = pt_free.astype(dtype)
+        ev = edge_mask & pt_free[jnp.clip(prob.edge_mp, 0, PL - 1)]
+        evf = ev.astype(dtype)
+        mp_l = jnp.where(ev, prob.edge_mp, PL).reshape(-1)
+        kf_l = jnp.broadcast_to(jnp.arange(KL)[:, None], (KL, F)).reshape(-1)
+
+        def total_cost(T, xyz):
+            _, chi2 = _edge_terms(prob, T, xyz, intr)
+            return jnp.sum(jnp.minimum(chi2, cfg.chi2_mono * 4) * evf)
+
+        def iter_body(_, state):
+            T, xyz, lam, _ = state
+            p, chi2 = _edge_terms(prob, T, xyz, intr)
+            w = huber_weight(chi2, cfg.huber_delta_point) * info * evf  # [KL, F]
+
+            Jc = p.J_pose          # [KL, F, 2, 6]
+            Jx = p.J_point         # [KL, F, 2, 3]
+            r = p.r                # [KL, F, 2]
+            # camera blocks
+            Hcc = jnp.einsum("kf,kfei,kfej->kij", w, Jc, Jc)
+            bc = -jnp.einsum("kf,kfei,kfe->ki", w, Jc, r)
+            # point blocks (scatter over local landmark ids)
+            Wpp = jnp.einsum("kf,kfei,kfej->kfij", w, Jx, Jx).reshape(-1, 3, 3)
+            bp_e = -jnp.einsum("kf,kfei,kfe->kfi", w, Jx, r).reshape(-1, 3)
+            Hpp = jnp.zeros((PL, 3, 3), dtype).at[mp_l].add(Wpp, mode="drop")
+            bp = jnp.zeros((PL, 3), dtype).at[mp_l].add(bp_e, mode="drop")
+            # coupling blocks A[p, k] 6x3
+            Wcp = jnp.einsum("kf,kfei,kfej->kfij", w, Jc, Jx).reshape(-1, 6, 3)
+            A = jnp.zeros((PL, KL, 6, 3), dtype).at[mp_l, kf_l].add(Wcp, mode="drop")
+
+            # damp + invert point blocks
+            lamI3 = lam * jnp.eye(3, dtype=dtype)
+            Hpp_d = Hpp + Hpp * lamI3 + 1e-6 * jnp.eye(3, dtype=dtype)
+            Hpp_inv = jnp.linalg.inv(Hpp_d) * pt_free_f[:, None, None]
+
+            # Schur complement on cameras
+            S_diag = Hcc + lam * Hcc * jnp.eye(6, dtype=dtype)
+            AHi = jnp.einsum("pkij,pjl->pkil", A, Hpp_inv)       # [PL, KL, 6, 3]
+            S_full = -jnp.einsum("pkil,pmjl->kmij", AHi, A)      # [KL, KL, 6, 6]
+            S_full = S_full.at[jnp.arange(KL), jnp.arange(KL)].add(S_diag)
+            b_red = bc - jnp.einsum("pkil,pl->ki", AHi, bp)
+
+            # mask fixed cameras: identity rows/cols
+            fm = (free_f * prob.kf_valid.astype(dtype))
+            mask2 = fm[:, None, None, None] * fm[None, :, None, None]
+            S_m = S_full * mask2
+            eye6 = jnp.eye(6, dtype=dtype)
+            S_m = S_m.at[jnp.arange(KL), jnp.arange(KL)].add(
+                (1.0 - fm)[:, None, None] * eye6
+            )
+            b_m = b_red * fm[:, None]
+            Sd = S_m.transpose(0, 2, 1, 3).reshape(KL * 6, KL * 6)
+            dxc = jnp.linalg.solve(Sd + 1e-6 * jnp.eye(KL * 6, dtype=dtype), b_m.reshape(-1))
+            dxc = dxc.reshape(KL, 6) * fm[:, None]
+            # back-substitute landmarks
+            rhs = bp - jnp.einsum("pkil,ki->pl", A, dxc)
+            dxp = jnp.einsum("pij,pj->pi", Hpp_inv, rhs) * pt_free_f[:, None]
+
+            T_new = jax.vmap(lambda d, Tk: lie.se3_exp(d) @ Tk)(dxc, T)
+            xyz_new = xyz + dxp
+            new_cost = total_cost(T_new, xyz_new)
+            old_cost = total_cost(T, xyz)
+            accept = new_cost < old_cost
+            T = jnp.where(accept, T_new, T)
+            xyz = jnp.where(accept, xyz_new, xyz)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e8)
+            return T, xyz, lam, jnp.where(accept, new_cost, old_cost)
+
+        T, xyz, _, cost = jax.lax.fori_loop(
+            0, n_iters, iter_body, (T, xyz, jnp.asarray(lam0, dtype), jnp.asarray(0.0, dtype))
+        )
+        return T, xyz, cost
+
+    # phase 1: all edges
+    T0, xyz0 = prob.kf_T_cw, prob.mp_xyz
+    T1, xyz1, _ = lm_phase(T0, xyz0, base_valid, cfg.local_ba_iters_first, cfg.lm_lambda_init)
+    # chi2 cut (Optimizer.cc:1487-1517): drop edges with chi2 > 5.991 or bad depth
+    p, chi2 = _edge_terms(prob, T1, xyz1, intr)
+    keep = base_valid & (chi2 <= cfg.chi2_mono) & (p.depth > 0)
+    # phase 2
+    T2, xyz2, cost = lm_phase(T1, xyz1, keep, cfg.local_ba_iters_second, cfg.lm_lambda_init)
+    # final classification
+    p, chi2 = _edge_terms(prob, T2, xyz2, intr)
+    inlier = base_valid & (chi2 <= cfg.chi2_mono) & (p.depth > 0)
+    return BAResult(kf_T_cw=T2, mp_xyz=xyz2, edge_inlier=inlier, cost=cost)
+
+
+__all__ = ["BAProblem", "BAResult", "bundle_adjust"]

@@ -1,0 +1,186 @@
+"""Struct-of-arrays SLAM map with fixed capacities and validity masks.
+
+TPU-native replacement for the reference's pointer-graph map
+(`Map`/`KeyFrame`/`MapPoint`/`MapLine`, reference src/Map.cc,
+src/KeyFrame.cc, src/MapPoint.cc, src/MapLine.cpp): instead of heap
+objects + mutexes, the whole map is one immutable pytree of pre-allocated
+device arrays. Updates are pure functions returning new states (buffer
+donation makes them in-place on device).
+
+Observation layout: the reference keeps per-landmark observation maps
+(MapPoint.h) AND per-keyframe feature->landmark vectors (KeyFrame.h
+mvpMapPoints). Here only the latter exists — `kf_kp_mp[K, F]` — and it
+doubles as the bundle-adjustment edge pool: edge (k, f) exists iff
+kf_kp_mp[k, f] >= 0, with its measurement already sitting in
+kf_xy[k, f] / kf_octave[k, f]. Everything derived (observation counts,
+covisibility weights, distinctive descriptors) is a segment-op over this
+static [K, F] grid — no allocation, no compaction, no mutexes
+(replaces KeyFrame::UpdateConnections, KeyFrame.cc:301-415, and
+MapPoint::ComputeDistinctiveDescriptors, MapPoint.cc).
+
+Lines mirror points with their own [K, LF] grid storing the observed
+normalized infinite-line coefficients (the measurement used by the line
+edges, reference include/lineEdge.h:60-69).
+
+Host Python holds only scalar cursors (next free keyframe / landmark
+slot).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from structure_slam_pointline_tpu.config import SLAMConfig
+
+
+class MapState(NamedTuple):
+    # --- keyframes (capacity K) ---
+    kf_T_cw: jnp.ndarray       # [K, 4, 4]
+    kf_valid: jnp.ndarray      # [K] bool
+    kf_frame_id: jnp.ndarray   # [K] int32 source frame index
+
+    # per-keyframe point-feature snapshot + observation edges (K x F)
+    kf_xy: jnp.ndarray         # [K, F, 2] undistorted keypoint coords
+    kf_desc: jnp.ndarray       # [K, F, 8] uint32
+    kf_octave: jnp.ndarray     # [K, F] int32
+    kf_angle: jnp.ndarray      # [K, F] float32
+    kf_kp_valid: jnp.ndarray   # [K, F] bool
+    kf_kp_mp: jnp.ndarray      # [K, F] int32 map-point id or -1  (edge pool)
+
+    # per-keyframe line-feature snapshot + observation edges (K x LF)
+    kf_line2d: jnp.ndarray     # [K, LF, 3] normalized infinite-line coeffs
+    kf_line_ep: jnp.ndarray    # [K, LF, 4] 2D endpoints (sx, sy, ex, ey)
+    kf_ldesc: jnp.ndarray      # [K, LF, 8] uint32 binary LBD
+    kf_loctave: jnp.ndarray    # [K, LF] int32
+    kf_line_valid: jnp.ndarray  # [K, LF] bool
+    kf_line_ml: jnp.ndarray    # [K, LF] int32 map-line id or -1  (edge pool)
+
+    # --- map points (capacity P) ---
+    mp_xyz: jnp.ndarray        # [P, 3]
+    mp_valid: jnp.ndarray      # [P] bool
+    mp_desc: jnp.ndarray       # [P, 8] uint32 distinctive descriptor
+    mp_normal: jnp.ndarray     # [P, 3] mean viewing direction
+    mp_dist_min: jnp.ndarray   # [P] scale-invariance band
+    mp_dist_max: jnp.ndarray   # [P]
+    mp_first_kf: jnp.ndarray   # [P] int32
+    mp_last_kf: jnp.ndarray    # [P] int32 most recent observing KF
+    mp_visible: jnp.ndarray    # [P] int32 frustum-visible count
+    mp_found: jnp.ndarray      # [P] int32 matched-inlier count
+
+    # --- map lines (capacity L) ---
+    ml_endpoints: jnp.ndarray  # [L, 6] world (start, end)
+    ml_valid: jnp.ndarray      # [L] bool
+    ml_desc: jnp.ndarray       # [L, 8] uint32
+    ml_first_kf: jnp.ndarray   # [L]
+    ml_last_kf: jnp.ndarray    # [L]
+    ml_visible: jnp.ndarray    # [L]
+    ml_found: jnp.ndarray      # [L]
+
+    @property
+    def capacity(self):
+        return dict(
+            K=self.kf_valid.shape[0],
+            F=self.kf_xy.shape[1],
+            LF=self.kf_line2d.shape[1],
+            P=self.mp_valid.shape[0],
+            L=self.ml_valid.shape[0],
+        )
+
+
+@dataclasses.dataclass
+class MapCursors:
+    """Host-side scalar allocation cursors (monotone bump allocators)."""
+
+    n_kf: int = 0
+    n_mp: int = 0
+    n_ml: int = 0
+
+
+def init_map(cfg: SLAMConfig, n_features: int | None = None) -> MapState:
+    K = cfg.map.max_keyframes
+    F = n_features or cfg.frontend.n_keypoints
+    LF = cfg.frontend.n_lines
+    P = cfg.map.max_points
+    L = cfg.map.max_lines
+    f32, i32 = jnp.float32, jnp.int32
+    return MapState(
+        kf_T_cw=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
+        kf_valid=jnp.zeros(K, bool),
+        kf_frame_id=jnp.full((K,), -1, i32),
+        kf_xy=jnp.zeros((K, F, 2), f32),
+        kf_desc=jnp.zeros((K, F, 8), jnp.uint32),
+        kf_octave=jnp.zeros((K, F), i32),
+        kf_angle=jnp.zeros((K, F), f32),
+        kf_kp_valid=jnp.zeros((K, F), bool),
+        kf_kp_mp=jnp.full((K, F), -1, i32),
+        kf_line2d=jnp.zeros((K, LF, 3), f32),
+        kf_line_ep=jnp.zeros((K, LF, 4), f32),
+        kf_ldesc=jnp.zeros((K, LF, 8), jnp.uint32),
+        kf_loctave=jnp.zeros((K, LF), i32),
+        kf_line_valid=jnp.zeros((K, LF), bool),
+        kf_line_ml=jnp.full((K, LF), -1, i32),
+        mp_xyz=jnp.zeros((P, 3), f32),
+        mp_valid=jnp.zeros(P, bool),
+        mp_desc=jnp.zeros((P, 8), jnp.uint32),
+        mp_normal=jnp.zeros((P, 3), f32),
+        mp_dist_min=jnp.zeros(P, f32),
+        mp_dist_max=jnp.full((P,), 1e9, f32),
+        mp_first_kf=jnp.full((P,), -1, i32),
+        mp_last_kf=jnp.full((P,), -1, i32),
+        mp_visible=jnp.zeros(P, i32),
+        mp_found=jnp.zeros(P, i32),
+        ml_endpoints=jnp.zeros((L, 6), f32),
+        ml_valid=jnp.zeros(L, bool),
+        ml_desc=jnp.zeros((L, 8), jnp.uint32),
+        ml_first_kf=jnp.full((L,), -1, i32),
+        ml_last_kf=jnp.full((L,), -1, i32),
+        ml_visible=jnp.zeros(L, i32),
+        ml_found=jnp.zeros(L, i32),
+    )
+
+
+@jax.jit
+def point_obs_counts(state: MapState) -> jnp.ndarray:
+    """[P] number of keyframe observations per map point (segment count
+    over the [K, F] edge grid)."""
+    P = state.mp_valid.shape[0]
+    ids = jnp.where(state.kf_kp_mp >= 0, state.kf_kp_mp, P).reshape(-1)
+    return jnp.zeros(P, jnp.int32).at[ids].add(1, mode="drop")
+
+
+@jax.jit
+def line_obs_counts(state: MapState) -> jnp.ndarray:
+    L = state.ml_valid.shape[0]
+    ids = jnp.where(state.kf_line_ml >= 0, state.kf_line_ml, L).reshape(-1)
+    return jnp.zeros(L, jnp.int32).at[ids].add(1, mode="drop")
+
+
+@jax.jit
+def covisibility_weights(state: MapState, kf_id: jnp.ndarray) -> jnp.ndarray:
+    """[K] landmarks (points + lines) shared between kf_id and every other KF.
+
+    Replaces KeyFrame::UpdateConnections (KeyFrame.cc:301-415) including
+    its line co-observation loop (336-355).
+    """
+    K = state.kf_valid.shape[0]
+    P = state.mp_valid.shape[0]
+    L = state.ml_valid.shape[0]
+    my_mp = state.kf_kp_mp[kf_id]  # [F]
+    seen_pt = jnp.zeros(P, bool).at[jnp.where(my_mp >= 0, my_mp, P)].set(True, mode="drop")
+    my_ml = state.kf_line_ml[kf_id]
+    seen_ln = jnp.zeros(L, bool).at[jnp.where(my_ml >= 0, my_ml, L)].set(True, mode="drop")
+    shares_pt = (state.kf_kp_mp >= 0) & seen_pt[jnp.clip(state.kf_kp_mp, 0, P - 1)]
+    shares_ln = (state.kf_line_ml >= 0) & seen_ln[jnp.clip(state.kf_line_ml, 0, L - 1)]
+    w = shares_pt.sum(axis=1).astype(jnp.int32) + shares_ln.sum(axis=1).astype(jnp.int32)
+    w = jnp.where(jnp.arange(K) == kf_id, 0, w)
+    return jnp.where(state.kf_valid, w, 0)
+
+
+__all__ = [
+    "MapState", "MapCursors", "init_map", "point_obs_counts",
+    "line_obs_counts", "covisibility_weights",
+]
