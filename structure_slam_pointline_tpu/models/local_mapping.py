@@ -1,0 +1,369 @@
+"""Local mapping: keyframe insertion, new-point triangulation, local BA,
+landmark culling — as pure jitted map-state transitions.
+
+TPU-native replacement for the LocalMapping thread (reference
+src/LocalMapping.cc:52-176). The reference's queue-driven loop
+(ProcessNewKeyFrame -> culling -> CreateNewMapPoints -> SearchInNeighbors
+-> LocalBundleAdjustment -> KeyFrameCulling) becomes a sequence of
+functional updates invoked by the system orchestrator after each
+keyframe decision; there are no queues or mutexes — the map pytree is
+single-writer by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from structure_slam_pointline_tpu.config import SLAMConfig
+from structure_slam_pointline_tpu.ops import hamming, matching, twoview
+from structure_slam_pointline_tpu.optim import local_ba
+from structure_slam_pointline_tpu.models.tracking import Frame
+from structure_slam_pointline_tpu.utils.camera import Intrinsics
+from structure_slam_pointline_tpu.world.map_store import MapState, point_obs_counts
+
+MAX_NEW_POINTS = 512   # new landmarks per keyframe insertion
+BA_WINDOW = 8          # free keyframes in local BA
+BA_FIXED = 8           # fixed frontier keyframes
+BA_LOCAL_KF = BA_WINDOW + BA_FIXED
+BA_LOCAL_MP = 8192
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def insert_keyframe(
+    state: MapState,
+    kf_slot: jnp.ndarray,     # int32 scalar: slot to write
+    frame_id: jnp.ndarray,
+    T_cw: jnp.ndarray,
+    frame: Frame,
+    feat_mp: jnp.ndarray,     # [F] matched map-point per feature (-1)
+    line_ml: jnp.ndarray,     # [LF]
+    cfg: SLAMConfig,
+) -> MapState:
+    """Write a keyframe snapshot + bind observations.
+
+    Equivalent of Tracking::CreateNewKeyFrame + LocalMapping::
+    ProcessNewKeyFrame (reference Tracking.cc:1481-1686,
+    LocalMapping.cc:199-278): the feature->landmark bindings become edge
+    entries in the [K, F] pool; landmark bookkeeping (last-seen KF,
+    refreshed distinctive descriptor, viewing normal, scale band) updates
+    by scatter.
+    """
+    P = state.mp_valid.shape[0]
+    L = state.ml_valid.shape[0]
+    k = kf_slot
+    st = state._replace(
+        kf_T_cw=state.kf_T_cw.at[k].set(T_cw),
+        kf_valid=state.kf_valid.at[k].set(True),
+        kf_frame_id=state.kf_frame_id.at[k].set(frame_id.astype(jnp.int32)),
+        kf_xy=state.kf_xy.at[k].set(frame.xy),
+        kf_desc=state.kf_desc.at[k].set(frame.desc),
+        kf_octave=state.kf_octave.at[k].set(frame.octave),
+        kf_angle=state.kf_angle.at[k].set(frame.angle),
+        kf_kp_valid=state.kf_kp_valid.at[k].set(frame.kp_valid),
+        kf_kp_mp=state.kf_kp_mp.at[k].set(feat_mp),
+        kf_line2d=state.kf_line2d.at[k].set(frame.line2d),
+        kf_line_ep=state.kf_line_ep.at[k].set(frame.line_ep),
+        kf_ldesc=state.kf_ldesc.at[k].set(frame.ldesc),
+        kf_loctave=state.kf_loctave.at[k].set(frame.loctave),
+        kf_line_valid=state.kf_line_valid.at[k].set(frame.line_valid),
+        kf_line_ml=state.kf_line_ml.at[k].set(line_ml),
+    )
+    # landmark bookkeeping
+    mp_ids = jnp.where(feat_mp >= 0, feat_mp, P)
+    st = st._replace(
+        mp_last_kf=st.mp_last_kf.at[mp_ids].max(k, mode="drop"),
+        mp_desc=st.mp_desc.at[mp_ids].set(frame.desc, mode="drop"),
+    )
+    # viewing normal + scale band from this KF's vantage
+    cam_center = -T_cw[:3, :3].T @ T_cw[:3, 3]
+    safe_mp = jnp.clip(feat_mp, 0, P - 1)
+    ray = st.mp_xyz[safe_mp] - cam_center
+    dist = jnp.maximum(jnp.linalg.norm(ray, axis=-1), 1e-9)
+    nrm = ray / dist[:, None]
+    sf = cfg.frontend.scale_factor
+    level_scale = jnp.power(sf, frame.octave.astype(jnp.float32))
+    dmax = dist * level_scale
+    dmin = dmax / (sf ** (cfg.frontend.n_levels - 1))
+    st = st._replace(
+        mp_normal=st.mp_normal.at[mp_ids].set(nrm, mode="drop"),
+        mp_dist_max=st.mp_dist_max.at[mp_ids].set(dmax, mode="drop"),
+        mp_dist_min=st.mp_dist_min.at[mp_ids].set(dmin, mode="drop"),
+    )
+    ml_ids = jnp.where(line_ml >= 0, line_ml, L)
+    st = st._replace(
+        ml_last_kf=st.ml_last_kf.at[ml_ids].max(k, mode="drop"),
+        ml_desc=st.ml_desc.at[ml_ids].set(frame.ldesc, mode="drop"),
+    )
+    return st
+
+
+class NewPointsResult(NamedTuple):
+    state: MapState
+    n_new: jnp.ndarray  # scalar int32
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def create_new_points(
+    state: MapState,
+    k_new: jnp.ndarray,       # new keyframe slot
+    k_ref: jnp.ndarray,       # neighbor keyframe slot to triangulate against
+    n_mp: jnp.ndarray,        # current landmark cursor (device scalar)
+    intr: Intrinsics,
+    cfg: SLAMConfig,
+) -> NewPointsResult:
+    """Triangulate new landmarks from unmatched features of two keyframes.
+
+    Equivalent of LocalMapping::CreateNewMapPoints (reference
+    LocalMapping.cc:371-637): epipolar-gated descriptor matching between
+    the keyframes' unbound features, DLT triangulation, and the
+    depth/parallax/reprojection acceptance gates — all in one batch.
+    """
+    F = state.kf_xy.shape[1]
+    P = state.mp_valid.shape[0]
+    T1 = state.kf_T_cw[k_new]
+    T2 = state.kf_T_cw[k_ref]
+    K = intr.K
+
+    free1 = state.kf_kp_valid[k_new] & (state.kf_kp_mp[k_new] < 0)
+    free2 = state.kf_kp_valid[k_ref] & (state.kf_kp_mp[k_ref] < 0)
+
+    # fundamental matrix F12 = K^-T [t]x R K^-1 (LocalMapping.cc:1286-1303)
+    T12 = T1 @ jnp.linalg.inv(T2)
+    R12, t12 = T12[:3, :3], T12[:3, 3]
+    tx = jnp.array(
+        [
+            [0.0, -t12[2], t12[1]],
+            [t12[2], 0.0, -t12[0]],
+            [-t12[1], t12[0], 0.0],
+        ]
+    )
+    Kinv = jnp.linalg.inv(K)
+    F12 = Kinv.T @ tx @ R12 @ Kinv
+
+    uv1 = state.kf_xy[k_new]
+    uv2 = state.kf_xy[k_ref]
+    p1 = jnp.concatenate([uv1, jnp.ones((F, 1))], axis=1)
+    p2 = jnp.concatenate([uv2, jnp.ones((F, 1))], axis=1)
+    # epipolar distance of every candidate pair [F1, F2]
+    l2 = p1 @ F12                       # lines in image 2
+    num = l2 @ p2.T                     # [F1, F2] signed distances * norm
+    d2 = num ** 2 / jnp.maximum((l2[:, 0] ** 2 + l2[:, 1] ** 2)[:, None], 1e-12)
+    sig2_2 = jnp.power(cfg.frontend.scale_factor, 2.0 * state.kf_octave[k_ref].astype(jnp.float32))
+    epi_ok = d2 <= 3.84 * sig2_2[None, :]
+
+    D = hamming.hamming_matrix(state.kf_desc[k_new], state.kf_desc[k_ref])
+    allow = epi_ok & free1[:, None] & free2[None, :]
+    allow &= jnp.abs(state.kf_octave[k_new][:, None] - state.kf_octave[k_ref][None, :]) <= 1
+    m = matching.masked_match(D, allow, max_dist=cfg.matching.th_low, ratio=0.8)
+
+    # triangulate matched pairs
+    P1 = K @ T1[:3, :4]
+    P2 = K @ T2[:3, :4]
+    uv2m = uv2[m.idx]
+    X = twoview.triangulate(P1, P2, uv1, uv2m)  # [F, 3] world coords
+
+    # acceptance gates (LocalMapping.cc:497-616)
+    def cam_depth(T, X):
+        return (X @ T[:3, :3].T + T[:3, 3])[:, 2]
+
+    z1 = cam_depth(T1, X)
+    z2 = cam_depth(T2, X)
+
+    def reproj_err(T, X, uv):
+        pc = X @ T[:3, :3].T + T[:3, 3]
+        zz = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+        u = intr.fx * pc[:, 0] / zz + intr.cx
+        v = intr.fy * pc[:, 1] / zz + intr.cy
+        return (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+
+    sig2_1 = jnp.power(cfg.frontend.scale_factor, 2.0 * state.kf_octave[k_new].astype(jnp.float32))
+    e1 = reproj_err(T1, X, uv1)
+    e2 = reproj_err(T2, X, uv2m)
+    # parallax
+    c1 = -T1[:3, :3].T @ T1[:3, 3]
+    c2 = -T2[:3, :3].T @ T2[:3, 3]
+    r1 = X - c1
+    r2 = X - c2
+    cosp = jnp.sum(r1 * r2, axis=1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=1) * jnp.linalg.norm(r2, axis=1), 1e-12
+    )
+    good = (
+        m.valid
+        & (z1 > 0.05) & (z2 > 0.05)
+        & (cosp < 0.9998)
+        & (e1 <= 5.991 * sig2_1)
+        & (e2 <= 5.991 * sig2_2[m.idx])
+        & jnp.all(jnp.isfinite(X), axis=1)
+    )
+
+    # allocate slots n_mp + rank among good (fixed MAX_NEW_POINTS budget)
+    order = jnp.nonzero(good, size=MAX_NEW_POINTS, fill_value=-1)[0]  # feature idx
+    taking = order >= 0
+    n_new = jnp.sum(taking).astype(jnp.int32)
+    slot = n_mp + jnp.cumsum(taking.astype(jnp.int32)) - 1
+    slot = jnp.where(taking & (slot < P), slot, P)  # drop overflow
+    feat = jnp.clip(order, 0, F - 1)
+
+    st = state._replace(
+        mp_xyz=state.mp_xyz.at[slot].set(X[feat], mode="drop"),
+        mp_valid=state.mp_valid.at[slot].set(True, mode="drop"),
+        mp_desc=state.mp_desc.at[slot].set(state.kf_desc[k_new][feat], mode="drop"),
+        mp_first_kf=state.mp_first_kf.at[slot].set(k_new.astype(jnp.int32), mode="drop"),
+        mp_last_kf=state.mp_last_kf.at[slot].set(k_new.astype(jnp.int32), mode="drop"),
+        mp_visible=state.mp_visible.at[slot].set(1, mode="drop"),
+        mp_found=state.mp_found.at[slot].set(1, mode="drop"),
+    )
+    # scale band + normal from the new KF
+    dist = jnp.linalg.norm(X[feat] - c1, axis=1)
+    nrm = (X[feat] - c1) / jnp.maximum(dist, 1e-9)[:, None]
+    sf = cfg.frontend.scale_factor
+    lvl = state.kf_octave[k_new][feat].astype(jnp.float32)
+    dmax = dist * jnp.power(sf, lvl)
+    dmin = dmax / (sf ** (cfg.frontend.n_levels - 1))
+    st = st._replace(
+        mp_normal=st.mp_normal.at[slot].set(nrm, mode="drop"),
+        mp_dist_max=st.mp_dist_max.at[slot].set(dmax, mode="drop"),
+        mp_dist_min=st.mp_dist_min.at[slot].set(dmin, mode="drop"),
+    )
+    # bind observations in both keyframes
+    new_mp_of_feat = jnp.full((F,), -1, jnp.int32).at[feat].set(
+        jnp.where(slot < P, slot, -1).astype(jnp.int32), mode="drop"
+    )
+    kp_mp_new = jnp.where(
+        (state.kf_kp_mp[k_new] < 0) & (new_mp_of_feat >= 0), new_mp_of_feat, state.kf_kp_mp[k_new]
+    )
+    # reference KF binding via match index
+    ref_bind = jnp.full((F,), -1, jnp.int32)
+    ref_feat = jnp.where(new_mp_of_feat >= 0, m.idx, F)
+    ref_bind = ref_bind.at[ref_feat].set(new_mp_of_feat, mode="drop")
+    kp_mp_ref = jnp.where(
+        (state.kf_kp_mp[k_ref] < 0) & (ref_bind >= 0), ref_bind, state.kf_kp_mp[k_ref]
+    )
+    st = st._replace(
+        kf_kp_mp=st.kf_kp_mp.at[k_new].set(kp_mp_new).at[k_ref].set(kp_mp_ref)
+    )
+    return NewPointsResult(state=st, n_new=n_new)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def apply_ba_result(
+    state: MapState,
+    local_kf: jnp.ndarray,     # [KL] global kf ids (-1 pad)
+    local_mp: jnp.ndarray,     # [PL] global mp ids (-1 pad)
+    ba: local_ba.BAResult,
+) -> MapState:
+    """Scatter optimized poses/points back and erase outlier observations
+    (the reference does this under the map mutex, Optimizer.cc:1526-1592)."""
+    K = state.kf_valid.shape[0]
+    P = state.mp_valid.shape[0]
+    kf_ids = jnp.where(local_kf >= 0, local_kf, K)
+    mp_ids = jnp.where(local_mp >= 0, local_mp, P)
+    st = state._replace(
+        kf_T_cw=state.kf_T_cw.at[kf_ids].set(ba.kf_T_cw, mode="drop"),
+        mp_xyz=state.mp_xyz.at[mp_ids].set(ba.mp_xyz, mode="drop"),
+    )
+    # outlier edges: clear the kf_kp_mp binding
+    KL, Fe = ba.edge_inlier.shape
+    rows = jnp.clip(local_kf, 0, K - 1)
+    cur = st.kf_kp_mp[rows]                      # [KL, F]
+    had_edge = cur >= 0
+    keep = ~had_edge | ba.edge_inlier
+    new_rows = jnp.where(keep, cur, -1)
+    st = st._replace(kf_kp_mp=st.kf_kp_mp.at[kf_ids].set(new_rows, mode="drop"))
+    return st
+
+
+def gather_ba_problem(
+    state: MapState, n_kf: int, cfg: SLAMConfig
+):
+    """Build the fixed-shape local problem: last BA_WINDOW KFs free,
+    previous BA_FIXED fixed, their landmarks + edges gathered.
+
+    Host-side shapes only; all array work on device. Keyframe 0 is always
+    gauge-fixed (reference Optimizer.cc local BA pins KF id 0).
+    """
+    K = state.kf_valid.shape[0]
+    lo_free = max(n_kf - BA_WINDOW, 0)
+    lo_fix = max(lo_free - BA_FIXED, 0)
+    ids = list(range(lo_fix, n_kf))
+    pad = BA_LOCAL_KF - len(ids)
+    local_kf = jnp.asarray(ids + [-1] * pad, jnp.int32)
+    free = jnp.asarray(
+        [(i >= lo_free and i != 0) for i in ids] + [False] * pad
+    )
+    return _gather_ba_device(state, local_kf, free, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _gather_ba_device(state: MapState, local_kf: jnp.ndarray, free: jnp.ndarray,
+                      cfg: SLAMConfig):
+    K = state.kf_valid.shape[0]
+    P = state.mp_valid.shape[0]
+    rows = jnp.clip(local_kf, 0, K - 1)
+    kf_ok = (local_kf >= 0) & state.kf_valid[rows]
+    edge_mp_glob = jnp.where(kf_ok[:, None], state.kf_kp_mp[rows], -1)  # [KL, F]
+
+    # local landmark set = landmarks with edges in the window
+    in_local = jnp.zeros(P, bool).at[
+        jnp.where(edge_mp_glob >= 0, edge_mp_glob, P).reshape(-1)
+    ].set(True, mode="drop")
+    in_local &= state.mp_valid
+    local_mp = jnp.nonzero(in_local, size=BA_LOCAL_MP, fill_value=-1)[0]
+    mp_safe = jnp.clip(local_mp, 0, P - 1)
+    # global -> local index table
+    g2l = jnp.full((P + 1,), -1, jnp.int32).at[
+        jnp.where(local_mp >= 0, local_mp, P)
+    ].set(jnp.arange(BA_LOCAL_MP, dtype=jnp.int32), mode="drop")
+    edge_mp_local = jnp.where(
+        edge_mp_glob >= 0, g2l[jnp.clip(edge_mp_glob, 0, P)], -1
+    )
+
+    sigma2 = jnp.power(
+        cfg.frontend.scale_factor, 2.0 * state.kf_octave[rows].astype(jnp.float32)
+    )
+    prob = local_ba.BAProblem(
+        kf_T_cw=state.kf_T_cw[rows],
+        kf_free=free & kf_ok,
+        kf_valid=kf_ok,
+        obs_uv=state.kf_xy[rows],
+        obs_sigma2=sigma2,
+        edge_mp=edge_mp_local,
+        edge_valid=(edge_mp_local >= 0) & state.kf_kp_valid[rows],
+        mp_xyz=state.mp_xyz[mp_safe],
+        mp_valid=(local_mp >= 0) & state.mp_valid[mp_safe],
+    )
+    return prob, local_kf, local_mp
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def cull_points(state: MapState, n_kf: jnp.ndarray, cfg: SLAMConfig) -> MapState:
+    """MapPointCulling (reference LocalMapping.cc:283-327): drop landmarks
+    with found/visible < 0.25 or too few KF observations soon after birth."""
+    obs = point_obs_counts(state)
+    ratio = state.mp_found.astype(jnp.float32) / jnp.maximum(
+        state.mp_visible.astype(jnp.float32), 1.0
+    )
+    age = n_kf - state.mp_first_kf
+    bad = state.mp_valid & (
+        (ratio < cfg.map.point_cull_found_ratio)
+        | ((age >= 2) & (obs <= 2) & (state.mp_first_kf > 0))
+    )
+    # probation: only cull after the landmark had a chance to be observed
+    bad &= age >= 2
+    mp_valid = state.mp_valid & ~bad
+    # clear dangling references
+    P = mp_valid.shape[0]
+    ref_ok = mp_valid[jnp.clip(state.kf_kp_mp, 0, P - 1)] & (state.kf_kp_mp >= 0)
+    kf_kp_mp = jnp.where(ref_ok, state.kf_kp_mp, -1)
+    return state._replace(mp_valid=mp_valid, kf_kp_mp=kf_kp_mp)
+
+
+__all__ = [
+    "MAX_NEW_POINTS", "BA_WINDOW", "BA_FIXED", "BA_LOCAL_KF", "BA_LOCAL_MP",
+    "insert_keyframe", "create_new_points", "NewPointsResult",
+    "apply_ba_result", "gather_ba_problem", "cull_points",
+]

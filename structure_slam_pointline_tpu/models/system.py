@@ -1,0 +1,364 @@
+"""System facade: the host-side state machine wiring the jitted steps.
+
+TPU-native replacement for `System` + the Tracking state machine
+(reference src/System.cc, src/Tracking.cc:171-326). The reference runs
+Tracking / LocalMapping / Viewer in threads with mutex-guarded queues;
+here the host orchestrates pure device-state transitions:
+
+    NO_IMAGES_YET -> NOT_INITIALIZED -> OK | LOST
+
+Per frame (state OK): one jitted track_step (project local map -> match
+-> 2x pose LM). On a keyframe decision: insert_keyframe ->
+create_new_points (vs 2 neighbors) -> local bundle_adjust -> culling,
+each a jitted map transition. The map pytree stays on device; the host
+holds cursors and the trajectory log.
+
+API mirrors the reference driver contract (System.h:70-75):
+`SLAMSystem.track(img, timestamp) -> 4x4 T_cw or None`, then
+`save_trajectory_tum(path)` (System.cc:206-332 format).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from structure_slam_pointline_tpu.config import SLAMConfig
+from structure_slam_pointline_tpu.models import local_mapping as lm
+from structure_slam_pointline_tpu.models import tracking
+from structure_slam_pointline_tpu.models.tracking import Frame
+from structure_slam_pointline_tpu.ops import extract, hamming, matching, twoview
+from structure_slam_pointline_tpu.utils import camera as cam_utils
+from structure_slam_pointline_tpu.utils.camera import Intrinsics
+from structure_slam_pointline_tpu.world import map_store
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclasses.dataclass
+class FrameLog:
+    frame_id: int
+    T_cw: Optional[np.ndarray]
+    n_inliers: int
+    is_keyframe: bool
+    state: TrackingState
+
+
+class SLAMSystem:
+    """Monocular point(+line) SLAM over a device-resident map."""
+
+    def __init__(self, cfg: SLAMConfig | None = None):
+        self.cfg = cfg or SLAMConfig()
+        self.intr = Intrinsics.from_config(self.cfg.camera)
+        self.state = TrackingState.NO_IMAGES_YET
+        self.map = map_store.init_map(self.cfg)
+        self.cur = map_store.MapCursors()
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.last_T = np.eye(4, dtype=np.float32)
+        self.frames_since_kf = 0
+        self.inliers_at_kf = 0
+        self.ref_frame: Optional[Frame] = None
+        self.ref_frame_id = -1
+        self.init_rng = np.random.default_rng(self.cfg.seed)
+        self.log: List[FrameLog] = []
+        self._lost_count = 0
+
+    # ------------------------------------------------------------------ #
+    # frame building
+    # ------------------------------------------------------------------ #
+    def build_frame(self, img: np.ndarray, init_mode: bool = False) -> Frame:
+        fe = self.cfg.frontend
+        n_kp = fe.n_keypoints  # fixed capacity either way; init uses lower FAST bar
+        kp = extract.extract_orb(jnp.asarray(img, jnp.float32), fe, n_keypoints=n_kp)
+        xy = cam_utils.undistort_pixels(self.intr, kp.xy) if self.cfg.camera.has_distortion else kp.xy
+        LF = fe.n_lines
+        return Frame(
+            xy=xy,
+            desc=kp.desc,
+            octave=kp.octave,
+            angle=kp.angle,
+            kp_valid=kp.valid,
+            line2d=jnp.zeros((LF, 3), jnp.float32),
+            line_ep=jnp.zeros((LF, 4), jnp.float32),
+            ldesc=jnp.zeros((LF, 8), jnp.uint32),
+            loctave=jnp.zeros((LF,), jnp.int32),
+            line_valid=jnp.zeros((LF,), bool),
+        )
+
+    # ------------------------------------------------------------------ #
+    # public API
+    # ------------------------------------------------------------------ #
+    def track(self, img: np.ndarray, frame_id: int) -> Optional[np.ndarray]:
+        """Process one grayscale frame; returns T_cw (4x4) or None."""
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            T = self._try_initialize(img, frame_id)
+        elif self.state == TrackingState.OK:
+            T = self._track_ok(img, frame_id)
+        else:  # LOST
+            T = self._track_lost(img, frame_id)
+        return T
+
+    # ------------------------------------------------------------------ #
+    # initialization (reference Tracking::MonocularInitialization, 328-410)
+    # ------------------------------------------------------------------ #
+    def _try_initialize(self, img, frame_id) -> Optional[np.ndarray]:
+        frame = self.build_frame(img, init_mode=True)
+        n_valid = int(frame.kp_valid.sum())
+        if self.ref_frame is None or n_valid < 100:
+            if n_valid >= 100:
+                self.ref_frame = frame
+                self.ref_frame_id = frame_id
+                self.state = TrackingState.NOT_INITIALIZED
+            self._log(frame_id, None, 0, False)
+            return None
+
+        # match ref -> current in a wide window (SearchForInitialization)
+        D = hamming.hamming_matrix(self.ref_frame.desc, frame.desc)
+        allow = matching.window_mask(
+            self.ref_frame.xy, self.ref_frame.kp_valid, frame.xy, frame.kp_valid,
+            radius=100.0,
+            kp_octave=frame.octave, pred_octave=self.ref_frame.octave, octave_slack=1,
+        )
+        m = matching.masked_match(D, allow, max_dist=self.cfg.matching.th_low,
+                                  ratio=self.cfg.matching.nn_ratio_init)
+        m_valid = matching.rotation_consistency(
+            self.ref_frame.angle, frame.angle, m, self.cfg.matching.histo_bins
+        )
+        n_matches = int(m_valid.sum())
+        if n_matches < self.cfg.init.min_matches:
+            # too few -> make this frame the new reference (Tracking.cc:355-376)
+            self.ref_frame = frame
+            self.ref_frame_id = frame_id
+            self._log(frame_id, None, 0, False)
+            return None
+
+        valid_np = np.asarray(m_valid)
+        sets = np.stack(
+            [
+                self.init_rng.choice(np.nonzero(valid_np)[0], 8, replace=False)
+                for _ in range(self.cfg.init.ransac_iters)
+            ]
+        )
+        out = twoview.initialize_two_view(
+            self.ref_frame.xy, frame.xy[m.idx], m_valid, jnp.asarray(sets), self.intr,
+            sigma=self.cfg.init.sigma, min_triangulated=self.cfg.init.min_triangulated,
+        )
+        if not bool(out.success):
+            self._log(frame_id, None, 0, False)
+            return None
+
+        T = self._create_initial_map(frame, frame_id, m, out)
+        self._log(frame_id, T, n_matches, True)
+        return T
+
+    def _create_initial_map(self, frame, frame_id, m, out) -> np.ndarray:
+        """Two keyframes + triangulated landmarks, scale-normalized to
+        median depth 1 (reference CreateInitialMapMonoWithPL, Tracking.cc:853-971)."""
+        good = np.asarray(out.good_mask)
+        X = np.asarray(out.points3d)
+        med = float(np.median(X[good, 2])) if good.any() else 1.0
+        X = X / med
+        R = np.asarray(out.R)
+        t = np.asarray(out.t) / med
+        T0 = np.eye(4, dtype=np.float32)
+        T1 = np.eye(4, dtype=np.float32)
+        T1[:3, :3] = R
+        T1[:3, 3] = t
+
+        F = frame.xy.shape[0]
+        ids = np.nonzero(good)[0]
+        n_new = len(ids)
+        mp_of_feat0 = np.full(F, -1, np.int32)
+        mp_of_feat0[ids] = np.arange(n_new)
+        idx_np = np.asarray(m.idx)
+        mp_of_feat1 = np.full(F, -1, np.int32)
+        mp_of_feat1[idx_np[ids]] = np.arange(n_new)
+
+        st = self.map
+        slots = jnp.arange(n_new)
+        st = st._replace(
+            mp_xyz=st.mp_xyz.at[slots].set(jnp.asarray(X[ids])),
+            mp_valid=st.mp_valid.at[slots].set(True),
+            mp_first_kf=st.mp_first_kf.at[slots].set(0),
+            mp_last_kf=st.mp_last_kf.at[slots].set(1),
+            mp_visible=st.mp_visible.at[slots].set(2),
+            mp_found=st.mp_found.at[slots].set(2),
+        )
+        no_lines = jnp.full((frame.line2d.shape[0],), -1, jnp.int32)
+        st = lm.insert_keyframe(
+            st, jnp.asarray(0), jnp.asarray(self.ref_frame_id), jnp.asarray(T0),
+            self.ref_frame, jnp.asarray(mp_of_feat0), no_lines, self.cfg,
+        )
+        st = lm.insert_keyframe(
+            st, jnp.asarray(1), jnp.asarray(frame_id), jnp.asarray(T1),
+            frame, jnp.asarray(mp_of_feat1), no_lines, self.cfg,
+        )
+        self.map = st
+        self.cur.n_kf = 2
+        self.cur.n_mp = n_new
+
+        # full BA over the initial map (reference runs GBA(20) after init)
+        self._run_local_ba()
+
+        self.state = TrackingState.OK
+        self.last_T = np.asarray(self.map.kf_T_cw[1])
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.frames_since_kf = 0
+        self.inliers_at_kf = n_new
+        return self.last_T
+
+    # ------------------------------------------------------------------ #
+    # normal tracking
+    # ------------------------------------------------------------------ #
+    def _track_ok(self, img, frame_id) -> Optional[np.ndarray]:
+        frame = self.build_frame(img)
+        T_pred = jnp.asarray(self.velocity @ self.last_T)
+        kf_lo = jnp.asarray(max(self.cur.n_kf - self.cfg.map.local_window_kf, 0))
+        tr = tracking.track_step(self.map, frame, T_pred, kf_lo, self.intr, self.cfg)
+        n_inl = int(tr.n_inliers)
+
+        if n_inl < 15:
+            self.state = TrackingState.LOST
+            self._lost_count = 0
+            self._log(frame_id, None, n_inl, False)
+            return None
+
+        self.map = tracking.update_seen_counters(self.map, tr, self.cfg)
+        T = np.asarray(tr.T_cw)
+        self.velocity = (T @ np.linalg.inv(self.last_T)).astype(np.float32)
+        self.last_T = T
+        self.frames_since_kf += 1
+
+        is_kf = self._need_keyframe(n_inl)
+        if is_kf:
+            self._insert_keyframe(frame, frame_id, tr)
+        self._log(frame_id, T, n_inl, is_kf)
+        return T
+
+    def _track_lost(self, img, frame_id) -> Optional[np.ndarray]:
+        """Constant-velocity coast + wide re-track (relocalization via BoW
+        comes with the place-recognition stage)."""
+        frame = self.build_frame(img)
+        T_pred = jnp.asarray(self.velocity @ self.last_T)
+        kf_lo = jnp.asarray(0)
+        tr = tracking.track_step(self.map, frame, T_pred, kf_lo, self.intr, self.cfg)
+        n_inl = int(tr.n_inliers)
+        if n_inl >= 30:
+            self.state = TrackingState.OK
+            T = np.asarray(tr.T_cw)
+            self.velocity = (T @ np.linalg.inv(self.last_T)).astype(np.float32)
+            self.last_T = T
+            self._log(frame_id, T, n_inl, False)
+            return T
+        self._lost_count += 1
+        self._log(frame_id, None, n_inl, False)
+        return None
+
+    def _need_keyframe(self, n_inl: int) -> bool:
+        """Reference NeedNewKeyFrame distilled (Tracking.cc:1380-1479):
+        tracked ratio below thRefRatio of the last KF's matches, or too
+        many frames since the last insertion; always require a minimum."""
+        if self.cur.n_kf >= self.cfg.map.max_keyframes - 1:
+            return False
+        if n_inl < self.cfg.keyframe.min_inliers:
+            return False
+        weak = n_inl < self.cfg.keyframe.min_tracked_ratio * max(self.inliers_at_kf, 1)
+        stale = self.frames_since_kf >= self.cfg.keyframe.max_frames
+        young = self.frames_since_kf >= 1
+        return (weak and young) or stale
+
+    def _insert_keyframe(self, frame: Frame, frame_id: int, tr) -> None:
+        k = self.cur.n_kf
+        st = lm.insert_keyframe(
+            self.map, jnp.asarray(k), jnp.asarray(frame_id), jnp.asarray(self.last_T),
+            frame, tr.feat_mp, tr.line_ml, self.cfg,
+        )
+        # triangulate vs up to two previous keyframes
+        n_new_total = 0
+        for k_ref in [k - 1, k - 2]:
+            if k_ref < 0:
+                continue
+            outp = lm.create_new_points(
+                st, jnp.asarray(k), jnp.asarray(k_ref), jnp.asarray(self.cur.n_mp),
+                self.intr, self.cfg,
+            )
+            st = outp.state
+            n_new = int(outp.n_new)
+            self.cur.n_mp += n_new
+            n_new_total += n_new
+        self.map = st
+        self.cur.n_kf = k + 1
+        self._run_local_ba()
+        self.map = lm.cull_points(self.map, jnp.asarray(self.cur.n_kf), self.cfg)
+        self.frames_since_kf = 0
+        self.inliers_at_kf = int(tr.n_inliers)
+        # tracking reference pose may have shifted in BA: refresh last_T
+        self.last_T = np.asarray(self.map.kf_T_cw[k])
+
+    def _run_local_ba(self) -> None:
+        from structure_slam_pointline_tpu.optim import local_ba as lba
+
+        prob, local_kf, local_mp = lm.gather_ba_problem(self.map, self.cur.n_kf, self.cfg)
+        result = lba.bundle_adjust(prob, self.intr, self.cfg.optim)
+        self.map = lm.apply_ba_result(self.map, local_kf, local_mp, result)
+
+    # ------------------------------------------------------------------ #
+    # output
+    # ------------------------------------------------------------------ #
+    def _log(self, frame_id, T, n_inl, is_kf):
+        self.log.append(FrameLog(frame_id, T, n_inl, is_kf, self.state))
+
+    def trajectory(self) -> dict:
+        """frame_id -> T_cw for all tracked frames."""
+        return {e.frame_id: e.T_cw for e in self.log if e.T_cw is not None}
+
+    def save_trajectory_tum(self, path: str, timestamps=None) -> None:
+        """TUM format: `t tx ty tz qx qy qz qw` of T_wc
+        (reference System::SaveTrajectoryTUM, System.cc:206-332)."""
+        with open(path, "w") as f:
+            for e in self.log:
+                if e.T_cw is None:
+                    continue
+                T_wc = np.linalg.inv(e.T_cw)
+                t = T_wc[:3, 3]
+                q = _rot_to_quat(T_wc[:3, :3])
+                ts = timestamps[e.frame_id] if timestamps is not None else float(e.frame_id)
+                f.write(
+                    f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
+
+def _rot_to_quat(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> quaternion (x, y, z, w)."""
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    else:
+        i = np.argmax(np.diag(R))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[3] = (R[k, j] - R[j, k]) / s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        x, y, z, w = q
+    return np.array([x, y, z, w])
+
+
+__all__ = ["SLAMSystem", "TrackingState", "FrameLog"]
