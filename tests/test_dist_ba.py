@@ -1,0 +1,49 @@
+"""Distributed BA on the 8-virtual-device CPU mesh must match single-device BA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from structure_slam_pointline_tpu.config import CameraConfig, OptimConfig
+from structure_slam_pointline_tpu.optim import local_ba
+from structure_slam_pointline_tpu.parallel import dist_ba, mesh as mesh_mod
+from structure_slam_pointline_tpu.utils import lie
+from structure_slam_pointline_tpu.utils.camera import Intrinsics
+
+from tests.test_local_ba import build_problem, reproj_rmse, CAM, INTR, CFG
+
+
+class TestDistBA:
+    def test_matches_single_device(self):
+        assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+        prob, T_gt, pts_gt = build_problem(seed=5)
+        m = mesh_mod.edge_mesh(8)
+        run = dist_ba.make_dist_ba(m, INTR, CFG, n_iters=12)
+        out = run(prob)
+        rmse = reproj_rmse(out.kf_T_cw, out.mp_xyz, prob)
+        assert rmse < 0.8  # converged near the noise floor
+        # poses near GT
+        for k in range(2, T_gt.shape[0]):
+            err = np.asarray(lie.se3_log(out.kf_T_cw[k] @ lie.se3_inverse(jnp.asarray(T_gt[k]))))
+            assert np.abs(err).max() < 2e-2, k
+
+    def test_agrees_with_local_ba(self):
+        prob, T_gt, pts_gt = build_problem(seed=6)
+        m = mesh_mod.edge_mesh(8)
+        run = dist_ba.make_dist_ba(m, INTR, CFG, n_iters=15)
+        out_d = run(prob)
+        out_s = local_ba.bundle_adjust(prob, INTR, CFG)
+        # both should land on the same optimum (within float tolerance)
+        rd = reproj_rmse(out_d.kf_T_cw, out_d.mp_xyz, prob)
+        rs = reproj_rmse(out_s.kf_T_cw, out_s.mp_xyz, prob)
+        assert abs(rd - rs) < 0.2
+
+    def test_various_mesh_sizes(self):
+        prob, _, _ = build_problem(seed=7, n_kf=4, n_pts=100)
+        for n in (1, 2, 4):
+            m = mesh_mod.edge_mesh(n)
+            run = dist_ba.make_dist_ba(m, INTR, CFG, n_iters=6)
+            out = run(prob)
+            assert np.isfinite(np.asarray(out.cost))
+            r = reproj_rmse(out.kf_T_cw, out.mp_xyz, prob)
+            assert r < 2.0
