@@ -1,9 +1,12 @@
 """Benchmark: steady-state tracked frames/s of the full SLAM pipeline.
 
-Runs the end-to-end system (feature extraction -> projection matching ->
-two pose LMs, plus keyframe insertion / triangulation / local BA when
-triggered) on a pre-rendered synthetic 640x480 sequence, on whatever
-device JAX selects (the real TPU chip under the driver).
+Runs the end-to-end system — feature extraction, projection matching,
+two chi2-gated pose LMs, plus the conditional keyframe pipeline
+(triangulation + Schur local BA + culling) — on a synthetic 640x480
+sequence on whatever device JAX selects (the real TPU chip under the
+driver). Sequence mode: frames stream through `lax.scan` in chunks, so
+steady-state throughput has no per-frame host round-trips (the
+TPU-native replacement for the reference's 3-thread pipeline).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline = the reference's real-time target of 30 fps on a desktop CPU
@@ -16,9 +19,12 @@ import time
 
 import numpy as np
 
+CHUNK = 25
+
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from structure_slam_pointline_tpu.config import CameraConfig, SLAMConfig
     from structure_slam_pointline_tpu.io import synthetic
@@ -27,32 +33,36 @@ def main():
     cam = CameraConfig(fy=480.0)
     cfg = SLAMConfig(camera=cam)
     scene = synthetic.make_room_scene(n_points=350, n_lines=20, seed=0)
-    n_frames = 80
+    n_frames = 2 + 3 * CHUNK
     poses = synthetic.circular_trajectory(n_frames, radius=0.5)
     imgs = synthetic.render_sequence(scene, poses, cam, noise=2.0)
 
     slam = SLAMSystem(cfg)
-    # warmup: initialize + compile every path (init, track, KF, BA)
-    warm = 12
-    for i in range(warm):
+    # bootstrap (two-view init) + compile the scan step on a warmup chunk
+    i = 0
+    while slam.carry is None and i < 10:
         slam.track(imgs[i], i)
+        i += 1
+    imgs_dev = jnp.asarray(imgs, jnp.float32)
+    slam.track_sequence(imgs_dev[i : i + CHUNK], i)  # warmup/compile
+    i += CHUNK
 
     t0 = time.time()
-    tracked = 0
-    for i in range(warm, n_frames):
-        T = slam.track(imgs[i], i)
-        if T is not None:
-            tracked += 1
-    jax.effects_barrier()
+    n_bench = 0
+    while i + CHUNK <= n_frames:
+        slam.track_sequence(imgs_dev[i : i + CHUNK], i)
+        i += CHUNK
+        n_bench += CHUNK
     dt = time.time() - t0
-    fps = (n_frames - warm) / dt
+    fps = n_bench / dt
 
     traj = slam.trajectory()
     ate = float("nan")
     if len(traj) > 10:
         ids = sorted(traj.keys())
-        est = np.stack([np.linalg.inv(traj[i]) for i in ids])
+        est = np.stack([np.linalg.inv(traj[k]) for k in ids])
         ate = synthetic.ate_rmse(est, poses[ids])
+    tracked = sum(1 for e in slam.log if e.T_cw is not None)
 
     print(json.dumps({
         "metric": "tracked_frames_per_second",
@@ -61,7 +71,7 @@ def main():
         "vs_baseline": round(fps / 30.0, 3),
         "extra": {
             "tracked_frames": tracked,
-            "total_frames": n_frames - warm,
+            "total_frames": n_frames,
             "ate_rmse_sim3": round(ate, 4),
             "n_keyframes": slam.cur.n_kf,
             "n_map_points": slam.cur.n_mp,

@@ -24,4 +24,12 @@ array snapshots; there are no mutexes.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry (LM normal equations, triangulation SVD prep) needs true f32
+# accumulation: the TPU default of bf16 MXU passes loses tracking
+# (verified: ATE 0.27 vs 0.012 on the synthetic benchmark). The hot
+# descriptor-distance matmuls are int8 and unaffected by this setting.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from structure_slam_pointline_tpu.config import SLAMConfig  # noqa: F401

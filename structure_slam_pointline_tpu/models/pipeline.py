@@ -1,0 +1,210 @@
+"""Fully device-resident SLAM pipeline: one jitted step per frame, and a
+lax.scan mode that runs whole sequences with zero host involvement.
+
+This is the TPU-native answer to the reference's thread pipeline: where
+Tracking enqueues keyframes for a LocalMapping thread (reference
+src/LocalMapping.cc:178-190), here the keyframe decision and the entire
+mapping reaction (insert -> triangulate vs two neighbors -> local
+Schur BA -> cull) execute *inside* the tracking step under
+`lax.cond` — zero host round-trips, which on TPU (and especially through
+a remote tunnel) dominate per-frame latency far more than compute.
+
+Two entry points:
+- `slam_step(carry, img)` — one frame; host pulls only what it wants.
+- `slam_scan(carry, imgs)` — an entire [N, H, W] sequence as one XLA
+  program (scan over frames), returning per-frame poses/stats.
+
+Initialization (two-view bootstrap) stays host-driven in
+models/system.py — it runs once; everything after runs here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from structure_slam_pointline_tpu.config import SLAMConfig
+from structure_slam_pointline_tpu.models import local_mapping as lm
+from structure_slam_pointline_tpu.models import tracking
+from structure_slam_pointline_tpu.models.tracking import Frame
+from structure_slam_pointline_tpu.ops import extract
+from structure_slam_pointline_tpu.optim import local_ba
+from structure_slam_pointline_tpu.utils import camera as cam_utils
+from structure_slam_pointline_tpu.utils.camera import Intrinsics
+from structure_slam_pointline_tpu.world.map_store import MapState
+
+
+class SLAMCarry(NamedTuple):
+    state: MapState
+    T_last: jnp.ndarray        # [4, 4]
+    velocity: jnp.ndarray      # [4, 4]
+    n_kf: jnp.ndarray          # int32
+    n_mp: jnp.ndarray          # int32
+    frames_since_kf: jnp.ndarray  # int32
+    inliers_at_kf: jnp.ndarray    # int32
+    ok: jnp.ndarray            # bool: tracking healthy
+
+
+class FrameOut(NamedTuple):
+    T_cw: jnp.ndarray          # [4, 4]
+    ok: jnp.ndarray            # bool
+    n_inliers: jnp.ndarray     # int32
+    is_kf: jnp.ndarray         # bool
+
+
+def build_frame_device(img: jnp.ndarray, intr: Intrinsics, cfg: SLAMConfig) -> Frame:
+    """Image -> Frame, all on device (extraction + undistortion)."""
+    fe = cfg.frontend
+    kp = extract.extract_orb(img, fe)
+    xy = cam_utils.undistort_pixels(intr, kp.xy) if cfg.camera.has_distortion else kp.xy
+    LF = fe.n_lines
+    return Frame(
+        xy=xy, desc=kp.desc, octave=kp.octave, angle=kp.angle, kp_valid=kp.valid,
+        line2d=jnp.zeros((LF, 3), jnp.float32),
+        line_ep=jnp.zeros((LF, 4), jnp.float32),
+        ldesc=jnp.zeros((LF, 8), jnp.uint32),
+        loctave=jnp.zeros((LF,), jnp.int32),
+        line_valid=jnp.zeros((LF,), bool),
+    )
+
+
+def _gather_ba_problem_device(state: MapState, n_kf: jnp.ndarray, cfg: SLAMConfig):
+    """Device-side local-BA window: last BA_WINDOW KFs free, BA_FIXED
+    frontier fixed, KF 0 gauge-pinned."""
+    KL = lm.BA_LOCAL_KF
+    ids = jnp.arange(KL, dtype=jnp.int32) + (n_kf - KL)
+    valid = ids >= 0
+    local_kf = jnp.where(valid, ids, -1)
+    free = valid & (ids >= n_kf - lm.BA_WINDOW) & (ids != 0)
+    return lm._gather_ba_device(state, local_kf, free, cfg)
+
+
+def _keyframe_pipeline(
+    state: MapState, frame: Frame, tr: tracking.TrackResult,
+    n_kf: jnp.ndarray, n_mp: jnp.ndarray, frame_id: jnp.ndarray,
+    intr: Intrinsics, cfg: SLAMConfig,
+):
+    """Insert KF + triangulate vs two neighbors + local BA + cull.
+    Mirrors LocalMapping::Run's per-keyframe sequence (LocalMapping.cc:52-176)."""
+    k = n_kf
+    st = lm.insert_keyframe(
+        state, k, frame_id, tr.T_cw, frame, tr.feat_mp, tr.line_ml, cfg
+    )
+    out1 = lm.create_new_points(st, k, jnp.maximum(k - 1, 0), n_mp, intr, cfg)
+    st, n_mp = out1.state, n_mp + out1.n_new
+    out2 = lm.create_new_points(st, k, jnp.maximum(k - 2, 0), n_mp, intr, cfg)
+    st, n_mp = out2.state, n_mp + out2.n_new
+    prob, local_kf, local_mp = _gather_ba_problem_device(st, k + 1, cfg)
+    ba = local_ba.bundle_adjust(prob, intr, cfg.optim)
+    st = lm.apply_ba_result(st, local_kf, local_mp, ba)
+    st = lm.cull_points(st, k + 1, cfg)
+    # the tracked pose may have moved in BA
+    T_new = st.kf_T_cw[k]
+    return st, n_mp, k + 1, T_new
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def slam_step(
+    carry: SLAMCarry, img: jnp.ndarray, frame_id: jnp.ndarray,
+    intr: Intrinsics, cfg: SLAMConfig,
+):
+    """One tracked frame, fully on device."""
+    frame = build_frame_device(img, intr, cfg)
+    T_pred = carry.velocity @ carry.T_last
+    kf_lo = jnp.maximum(carry.n_kf - cfg.map.local_window_kf, 0)
+    # when lost, search the whole map wide (relocalization-lite)
+    kf_lo = jnp.where(carry.ok, kf_lo, 0)
+    tr = tracking.track_step(carry.state, frame, T_pred, kf_lo, intr, cfg)
+    state = tracking.update_seen_counters(carry.state, tr, cfg)
+
+    n_inl = tr.n_inliers
+    ok = n_inl >= jnp.where(carry.ok, 15, 30)
+
+    # keyframe decision (Tracking::NeedNewKeyFrame distilled)
+    weak = n_inl < (cfg.keyframe.min_tracked_ratio * carry.inliers_at_kf.astype(jnp.float32)).astype(jnp.int32)
+    stale = carry.frames_since_kf + 1 >= cfg.keyframe.max_frames
+    roomy = carry.n_kf < cfg.map.max_keyframes - 1
+    need_kf = ok & roomy & (n_inl >= cfg.keyframe.min_inliers) & (weak | stale)
+
+    def do_kf(op):
+        state, frame, tr = op
+        st, n_mp, n_kf, T_new = _keyframe_pipeline(
+            state, frame, tr, carry.n_kf, carry.n_mp, frame_id, intr, cfg
+        )
+        return st, n_mp, n_kf, T_new, jnp.zeros((), jnp.int32), n_inl
+
+    def no_kf(op):
+        state, frame, tr = op
+        return (
+            state, carry.n_mp, carry.n_kf, tr.T_cw,
+            carry.frames_since_kf + 1, carry.inliers_at_kf,
+        )
+
+    state, n_mp, n_kf, T_cw, frames_since, inl_at_kf = jax.lax.cond(
+        need_kf, do_kf, no_kf, (state, frame, tr)
+    )
+
+    T_cw = jnp.where(ok, T_cw, T_pred)  # coast on the motion model when lost
+    velocity = jnp.where(
+        ok, T_cw @ jnp.linalg.inv(carry.T_last), carry.velocity
+    )
+    new_carry = SLAMCarry(
+        state=state,
+        T_last=T_cw,
+        velocity=velocity,
+        n_kf=n_kf,
+        n_mp=n_mp,
+        frames_since_kf=frames_since,
+        inliers_at_kf=inl_at_kf,
+        ok=ok,
+    )
+    return new_carry, FrameOut(T_cw=T_cw, ok=ok, n_inliers=n_inl, is_kf=need_kf)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def slam_scan(
+    carry: SLAMCarry, imgs: jnp.ndarray, first_frame_id: jnp.ndarray,
+    intr: Intrinsics, cfg: SLAMConfig,
+):
+    """Track a whole [N, H, W] sequence as one XLA program."""
+    n = imgs.shape[0]
+
+    def body(c, x):
+        img, fid = x
+        return slam_step(c, img, fid, intr, cfg)
+
+    fids = first_frame_id + jnp.arange(n, dtype=jnp.int32)
+    return jax.lax.scan(body, carry, (imgs, fids))
+
+
+@jax.jit
+def pack_frame_out(out: FrameOut) -> jnp.ndarray:
+    """Pack per-frame outputs into one [19] vector so the host needs a
+    single small D2H transfer (tunnel round-trips dominate latency)."""
+    return jnp.concatenate([
+        out.T_cw.reshape(16),
+        out.ok.astype(jnp.float32)[None],
+        out.n_inliers.astype(jnp.float32)[None],
+        out.is_kf.astype(jnp.float32)[None],
+    ])
+
+
+def make_carry(state: MapState, T_last, velocity, n_kf: int, n_mp: int,
+               inliers_at_kf: int) -> SLAMCarry:
+    return SLAMCarry(
+        state=state,
+        T_last=jnp.asarray(T_last, jnp.float32),
+        velocity=jnp.asarray(velocity, jnp.float32),
+        n_kf=jnp.asarray(n_kf, jnp.int32),
+        n_mp=jnp.asarray(n_mp, jnp.int32),
+        frames_since_kf=jnp.asarray(0, jnp.int32),
+        inliers_at_kf=jnp.asarray(inliers_at_kf, jnp.int32),
+        ok=jnp.asarray(True),
+    )
+
+
+__all__ = ["SLAMCarry", "FrameOut", "slam_step", "slam_scan", "make_carry",
+           "build_frame_device"]

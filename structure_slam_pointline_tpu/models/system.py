@@ -30,7 +30,7 @@ import numpy as np
 
 from structure_slam_pointline_tpu.config import SLAMConfig
 from structure_slam_pointline_tpu.models import local_mapping as lm
-from structure_slam_pointline_tpu.models import tracking
+from structure_slam_pointline_tpu.models import pipeline, tracking
 from structure_slam_pointline_tpu.models.tracking import Frame
 from structure_slam_pointline_tpu.ops import extract, hamming, matching, twoview
 from structure_slam_pointline_tpu.utils import camera as cam_utils
@@ -72,6 +72,7 @@ class SLAMSystem:
         self.init_rng = np.random.default_rng(self.cfg.seed)
         self.log: List[FrameLog] = []
         self._lost_count = 0
+        self.carry: Optional[pipeline.SLAMCarry] = None  # device pipeline state
 
     # ------------------------------------------------------------------ #
     # frame building
@@ -102,11 +103,31 @@ class SLAMSystem:
         """Process one grayscale frame; returns T_cw (4x4) or None."""
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             T = self._try_initialize(img, frame_id)
-        elif self.state == TrackingState.OK:
-            T = self._track_ok(img, frame_id)
-        else:  # LOST
-            T = self._track_lost(img, frame_id)
+        else:  # OK or LOST: fully device-resident step
+            T = self._track_device(img, frame_id)
         return T
+
+    def track_sequence(self, imgs: np.ndarray, first_frame_id: int):
+        """Batch mode: run a whole [N, H, W] sequence as one lax.scan XLA
+        program (zero per-frame host round-trips). Requires an initialized
+        map. Returns (T_cw [N, 4, 4], ok [N], n_inliers [N], is_kf [N])."""
+        assert self.carry is not None, "initialize first (track() two frames)"
+        self.carry, outs = pipeline.slam_scan(
+            self.carry, jnp.asarray(imgs, jnp.float32),
+            jnp.asarray(first_frame_id, jnp.int32), self.intr, self.cfg,
+        )
+        self.map = self.carry.state
+        T, ok, n_inl, is_kf = jax.device_get(
+            (outs.T_cw, outs.ok, outs.n_inliers, outs.is_kf)
+        )
+        for i in range(len(ok)):
+            st = TrackingState.OK if ok[i] else TrackingState.LOST
+            self.state = st
+            self._log(first_frame_id + i, T[i] if ok[i] else None, int(n_inl[i]), bool(is_kf[i]))
+        self.cur.n_kf = int(self.carry.n_kf)
+        self.cur.n_mp = int(self.carry.n_mp)
+        self.last_T = T[-1]
+        return T, ok, n_inl, is_kf
 
     # ------------------------------------------------------------------ #
     # initialization (reference Tracking::MonocularInitialization, 328-410)
@@ -215,95 +236,35 @@ class SLAMSystem:
         self.velocity = np.eye(4, dtype=np.float32)
         self.frames_since_kf = 0
         self.inliers_at_kf = n_new
+        self.carry = pipeline.make_carry(
+            self.map, self.last_T, self.velocity, self.cur.n_kf, self.cur.n_mp, n_new
+        )
         return self.last_T
 
     # ------------------------------------------------------------------ #
-    # normal tracking
+    # normal tracking (device pipeline)
     # ------------------------------------------------------------------ #
-    def _track_ok(self, img, frame_id) -> Optional[np.ndarray]:
-        frame = self.build_frame(img)
-        T_pred = jnp.asarray(self.velocity @ self.last_T)
-        kf_lo = jnp.asarray(max(self.cur.n_kf - self.cfg.map.local_window_kf, 0))
-        tr = tracking.track_step(self.map, frame, T_pred, kf_lo, self.intr, self.cfg)
-        n_inl = int(tr.n_inliers)
-
-        if n_inl < 15:
-            self.state = TrackingState.LOST
-            self._lost_count = 0
-            self._log(frame_id, None, n_inl, False)
-            return None
-
-        self.map = tracking.update_seen_counters(self.map, tr, self.cfg)
-        T = np.asarray(tr.T_cw)
-        self.velocity = (T @ np.linalg.inv(self.last_T)).astype(np.float32)
-        self.last_T = T
-        self.frames_since_kf += 1
-
-        is_kf = self._need_keyframe(n_inl)
-        if is_kf:
-            self._insert_keyframe(frame, frame_id, tr)
-        self._log(frame_id, T, n_inl, is_kf)
-        return T
-
-    def _track_lost(self, img, frame_id) -> Optional[np.ndarray]:
-        """Constant-velocity coast + wide re-track (relocalization via BoW
-        comes with the place-recognition stage)."""
-        frame = self.build_frame(img)
-        T_pred = jnp.asarray(self.velocity @ self.last_T)
-        kf_lo = jnp.asarray(0)
-        tr = tracking.track_step(self.map, frame, T_pred, kf_lo, self.intr, self.cfg)
-        n_inl = int(tr.n_inliers)
-        if n_inl >= 30:
-            self.state = TrackingState.OK
-            T = np.asarray(tr.T_cw)
-            self.velocity = (T @ np.linalg.inv(self.last_T)).astype(np.float32)
-            self.last_T = T
-            self._log(frame_id, T, n_inl, False)
-            return T
-        self._lost_count += 1
-        self._log(frame_id, None, n_inl, False)
-        return None
-
-    def _need_keyframe(self, n_inl: int) -> bool:
-        """Reference NeedNewKeyFrame distilled (Tracking.cc:1380-1479):
-        tracked ratio below thRefRatio of the last KF's matches, or too
-        many frames since the last insertion; always require a minimum."""
-        if self.cur.n_kf >= self.cfg.map.max_keyframes - 1:
-            return False
-        if n_inl < self.cfg.keyframe.min_inliers:
-            return False
-        weak = n_inl < self.cfg.keyframe.min_tracked_ratio * max(self.inliers_at_kf, 1)
-        stale = self.frames_since_kf >= self.cfg.keyframe.max_frames
-        young = self.frames_since_kf >= 1
-        return (weak and young) or stale
-
-    def _insert_keyframe(self, frame: Frame, frame_id: int, tr) -> None:
-        k = self.cur.n_kf
-        st = lm.insert_keyframe(
-            self.map, jnp.asarray(k), jnp.asarray(frame_id), jnp.asarray(self.last_T),
-            frame, tr.feat_mp, tr.line_ml, self.cfg,
+    def _track_device(self, img, frame_id) -> Optional[np.ndarray]:
+        """One fully-jitted step: extraction, matching, pose LM, and the
+        conditional keyframe pipeline all run on device; the host pulls
+        only the small per-frame output."""
+        self.carry, out = pipeline.slam_step(
+            self.carry, jnp.asarray(img, jnp.float32), jnp.asarray(frame_id, jnp.int32),
+            self.intr, self.cfg,
         )
-        # triangulate vs up to two previous keyframes
-        n_new_total = 0
-        for k_ref in [k - 1, k - 2]:
-            if k_ref < 0:
-                continue
-            outp = lm.create_new_points(
-                st, jnp.asarray(k), jnp.asarray(k_ref), jnp.asarray(self.cur.n_mp),
-                self.intr, self.cfg,
-            )
-            st = outp.state
-            n_new = int(outp.n_new)
-            self.cur.n_mp += n_new
-            n_new_total += n_new
-        self.map = st
-        self.cur.n_kf = k + 1
-        self._run_local_ba()
-        self.map = lm.cull_points(self.map, jnp.asarray(self.cur.n_kf), self.cfg)
-        self.frames_since_kf = 0
-        self.inliers_at_kf = int(tr.n_inliers)
-        # tracking reference pose may have shifted in BA: refresh last_T
-        self.last_T = np.asarray(self.map.kf_T_cw[k])
+        self.map = self.carry.state
+        packed = jax.device_get(pipeline.pack_frame_out(out))  # ONE small D2H
+        T = packed[:16].reshape(4, 4)
+        ok = bool(packed[16] > 0.5)
+        n_inl = int(packed[17])
+        is_kf = bool(packed[18] > 0.5)
+        self.state = TrackingState.OK if ok else TrackingState.LOST
+        if ok:
+            self.last_T = np.asarray(T)
+        self._log(frame_id, np.asarray(T) if ok else None, n_inl, is_kf)
+        if not ok:
+            return None
+        return np.asarray(T)
 
     def _run_local_ba(self) -> None:
         from structure_slam_pointline_tpu.optim import local_ba as lba
@@ -317,6 +278,12 @@ class SLAMSystem:
     # ------------------------------------------------------------------ #
     def _log(self, frame_id, T, n_inl, is_kf):
         self.log.append(FrameLog(frame_id, T, n_inl, is_kf, self.state))
+
+    def sync_cursors(self) -> None:
+        """Pull allocation cursors from the device carry (one small D2H)."""
+        if self.carry is not None:
+            self.cur.n_kf = int(self.carry.n_kf)
+            self.cur.n_mp = int(self.carry.n_mp)
 
     def trajectory(self) -> dict:
         """frame_id -> T_cw for all tracked frames."""
