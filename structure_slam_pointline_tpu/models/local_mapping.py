@@ -249,6 +249,154 @@ def create_new_points(
     return NewPointsResult(state=st, n_new=n_new)
 
 
+MAX_NEW_LINES = 64
+
+
+class NewLinesResult(NamedTuple):
+    state: MapState
+    n_new: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def create_new_lines(
+    state: MapState,
+    k_new: jnp.ndarray,
+    k_ref: jnp.ndarray,
+    n_ml: jnp.ndarray,        # current map-line cursor (device scalar)
+    intr: Intrinsics,
+    cfg: SLAMConfig,
+) -> NewLinesResult:
+    """Triangulate new 3D segments from two keyframes' unbound lines.
+
+    Equivalent of LocalMapping::CreateNewMapLines2 (reference
+    LocalMapping.cc:911-1173): each observed 2D line l defines the plane
+    pi = (K P)^T l through the camera center; two planes intersect in
+    the 3D line, and the new keyframe's endpoint rays cut it into a
+    segment (the reference's two 4x4 SVDs at LocalMapping.cc:1056-1088
+    solve the same ray/plane intersection). Depth/length sanity gates
+    mirror LocalMapping.cc:1096-1148.
+    """
+    LF = state.kf_line2d.shape[1]
+    L = state.ml_valid.shape[0]
+    T1 = state.kf_T_cw[k_new]
+    T2 = state.kf_T_cw[k_ref]
+    K = intr.K
+
+    free1 = state.kf_line_valid[k_new] & (state.kf_line_ml[k_new] < 0)
+    free2 = state.kf_line_valid[k_ref] & (state.kf_line_ml[k_ref] < 0)
+
+    D = hamming.hamming_matrix(state.kf_ldesc[k_new], state.kf_ldesc[k_ref])
+    allow = free1[:, None] & free2[None, :]
+    m = matching.masked_match(D, allow, max_dist=cfg.matching.th_low, ratio=0.8)
+
+    # planes pi = (K [R|t])^T l  (4-vectors)
+    P1 = K @ T1[:3, :4]
+    P2 = K @ T2[:3, :4]
+    l1 = state.kf_line2d[k_new]                  # [LF, 3]
+    l2 = state.kf_line2d[k_ref][m.idx]           # matched ref lines
+    pi2 = l2 @ P2                                # [LF, 4] plane of ref view
+
+    # endpoint rays of the new view in world coords
+    c1 = -T1[:3, :3].T @ T1[:3, 3]
+    Rwc1 = T1[:3, :3].T
+    ep1 = state.kf_line_ep[k_new]                # [LF, 4] (sx, sy, ex, ey)
+
+    def ray_dir(uv):
+        xn = jnp.stack(
+            [(uv[:, 0] - intr.cx) / intr.fx, (uv[:, 1] - intr.cy) / intr.fy,
+             jnp.ones(LF)], axis=1
+        )
+        return xn @ Rwc1.T                       # world direction
+
+    def intersect(uv):
+        d = ray_dir(uv)                          # [LF, 3]
+        # lambda = -(pi . [c1, 1]) / (pi . [d, 0])
+        num = pi2[:, :3] @ c1 + pi2[:, 3]
+        den = jnp.sum(pi2[:, :3] * d, axis=1)
+        lam = -num / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+        return c1 + d * lam[:, None], lam
+
+    Xs, lam_s = intersect(ep1[:, 0:2])
+    Xe, lam_e = intersect(ep1[:, 2:4])
+
+    def depth_in(T, X):
+        return (X @ T[:3, :3].T + T[:3, 3])[:, 2]
+
+    z1s, z1e = depth_in(T1, Xs), depth_in(T1, Xe)
+    z2s, z2e = depth_in(T2, Xs), depth_in(T2, Xe)
+    seg_len = jnp.linalg.norm(Xe - Xs, axis=1)
+    # depth ratio sanity (LocalMapping.cc:1096-1131): endpoints at similar
+    # depth, segment not absurdly long relative to its distance
+    depth_ratio = jnp.minimum(z1s, z1e) / jnp.maximum(jnp.maximum(z1s, z1e), 1e-9)
+    mid_depth = 0.5 * (z1s + z1e)
+    good = (
+        m.valid
+        & (z1s > 0.05) & (z1e > 0.05) & (z2s > 0.05) & (z2e > 0.05)
+        & (lam_s > 0.0) & (lam_e > 0.0)
+        & (depth_ratio > 0.3)
+        & (seg_len < 1.3 * mid_depth)
+        & (seg_len > 0.01)
+        & jnp.all(jnp.isfinite(Xs), axis=1) & jnp.all(jnp.isfinite(Xe), axis=1)
+    )
+
+    order = jnp.nonzero(good, size=MAX_NEW_LINES, fill_value=-1)[0]
+    taking = order >= 0
+    n_new = jnp.sum(taking).astype(jnp.int32)
+    slot = n_ml + jnp.cumsum(taking.astype(jnp.int32)) - 1
+    slot = jnp.where(taking & (slot < L), slot, L)
+    feat = jnp.clip(order, 0, LF - 1)
+
+    eps6 = jnp.concatenate([Xs, Xe], axis=1)     # [LF, 6]
+    st = state._replace(
+        ml_endpoints=state.ml_endpoints.at[slot].set(eps6[feat], mode="drop"),
+        ml_valid=state.ml_valid.at[slot].set(True, mode="drop"),
+        ml_desc=state.ml_desc.at[slot].set(state.kf_ldesc[k_new][feat], mode="drop"),
+        ml_first_kf=state.ml_first_kf.at[slot].set(k_new.astype(jnp.int32), mode="drop"),
+        ml_last_kf=state.ml_last_kf.at[slot].set(k_new.astype(jnp.int32), mode="drop"),
+        ml_visible=state.ml_visible.at[slot].set(1, mode="drop"),
+        ml_found=state.ml_found.at[slot].set(1, mode="drop"),
+    )
+    new_ml_of_line = jnp.full((LF,), -1, jnp.int32).at[feat].set(
+        jnp.where(slot < L, slot, L).astype(jnp.int32), mode="drop"
+    )
+    new_ml_of_line = jnp.where(new_ml_of_line >= L, -1, new_ml_of_line)
+    ml_new = jnp.where(
+        (state.kf_line_ml[k_new] < 0) & (new_ml_of_line >= 0),
+        new_ml_of_line, state.kf_line_ml[k_new],
+    )
+    ref_bind = jnp.full((LF,), -1, jnp.int32)
+    ref_line = jnp.where(new_ml_of_line >= 0, m.idx, LF)
+    ref_bind = ref_bind.at[ref_line].set(new_ml_of_line, mode="drop")
+    ml_ref = jnp.where(
+        (state.kf_line_ml[k_ref] < 0) & (ref_bind >= 0), ref_bind, state.kf_line_ml[k_ref]
+    )
+    st = st._replace(
+        kf_line_ml=st.kf_line_ml.at[k_new].set(ml_new).at[k_ref].set(ml_ref)
+    )
+    return NewLinesResult(state=st, n_new=n_new)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def cull_lines(state: MapState, n_kf: jnp.ndarray, cfg: SLAMConfig) -> MapState:
+    """MapLineCulling (reference LocalMapping.cc:329-366): found/visible
+    < 0.6 or too few observations soon after birth."""
+    from structure_slam_pointline_tpu.world.map_store import line_obs_counts
+
+    obs = line_obs_counts(state)
+    ratio = state.ml_found.astype(jnp.float32) / jnp.maximum(
+        state.ml_visible.astype(jnp.float32), 1.0
+    )
+    age = n_kf - state.ml_first_kf
+    bad = state.ml_valid & (age >= 2) & (
+        (ratio < cfg.map.line_cull_found_ratio) | ((age >= 2) & (obs <= 1))
+    )
+    ml_valid = state.ml_valid & ~bad
+    L = ml_valid.shape[0]
+    ref_ok = ml_valid[jnp.clip(state.kf_line_ml, 0, L - 1)] & (state.kf_line_ml >= 0)
+    kf_line_ml = jnp.where(ref_ok, state.kf_line_ml, -1)
+    return state._replace(ml_valid=ml_valid, kf_line_ml=kf_line_ml)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def apply_ba_result(
     state: MapState,

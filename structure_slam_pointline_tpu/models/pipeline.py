@@ -30,7 +30,7 @@ from structure_slam_pointline_tpu.config import SLAMConfig
 from structure_slam_pointline_tpu.models import local_mapping as lm
 from structure_slam_pointline_tpu.models import tracking
 from structure_slam_pointline_tpu.models.tracking import Frame
-from structure_slam_pointline_tpu.ops import extract
+from structure_slam_pointline_tpu.ops import extract, lbd, lsd
 from structure_slam_pointline_tpu.optim import local_ba
 from structure_slam_pointline_tpu.utils import camera as cam_utils
 from structure_slam_pointline_tpu.utils.camera import Intrinsics
@@ -43,6 +43,7 @@ class SLAMCarry(NamedTuple):
     velocity: jnp.ndarray      # [4, 4]
     n_kf: jnp.ndarray          # int32
     n_mp: jnp.ndarray          # int32
+    n_ml: jnp.ndarray          # int32 map-line cursor
     frames_since_kf: jnp.ndarray  # int32
     inliers_at_kf: jnp.ndarray    # int32
     ok: jnp.ndarray            # bool: tracking healthy
@@ -56,11 +57,33 @@ class FrameOut(NamedTuple):
 
 
 def build_frame_device(img: jnp.ndarray, intr: Intrinsics, cfg: SLAMConfig) -> Frame:
-    """Image -> Frame, all on device (extraction + undistortion)."""
+    """Image -> Frame, all on device: ORB extraction + LSD-equivalent line
+    detection + LBD descriptors + undistortion (reference Frame ctor,
+    src/Frame.cc:69-131, runs both extractors back to back)."""
     fe = cfg.frontend
     kp = extract.extract_orb(img, fe)
     xy = cam_utils.undistort_pixels(intr, kp.xy) if cfg.camera.has_distortion else kp.xy
     LF = fe.n_lines
+    if cfg.use_lines:
+        ln = lsd.detect_lines(img, fe)
+        ldesc, _ = lbd.describe_lines(img, ln.endpoints, ln.valid)
+        line_ep = ln.endpoints
+        line2d = ln.line2d
+        if cfg.camera.has_distortion:
+            sp = cam_utils.undistort_pixels(intr, line_ep[:, 0:2])
+            ep = cam_utils.undistort_pixels(intr, line_ep[:, 2:4])
+            line_ep = jnp.concatenate([sp, ep], axis=1)
+            sp_h = jnp.concatenate([sp, jnp.ones((LF, 1))], axis=1)
+            ep_h = jnp.concatenate([ep, jnp.ones((LF, 1))], axis=1)
+            l = jnp.cross(sp_h, ep_h)
+            line2d = l / jnp.maximum(
+                jnp.hypot(l[:, 0], l[:, 1]), 1e-9
+            )[:, None]
+        return Frame(
+            xy=xy, desc=kp.desc, octave=kp.octave, angle=kp.angle, kp_valid=kp.valid,
+            line2d=line2d, line_ep=line_ep, ldesc=ldesc,
+            loctave=jnp.zeros((LF,), jnp.int32), line_valid=ln.valid,
+        )
     return Frame(
         xy=xy, desc=kp.desc, octave=kp.octave, angle=kp.angle, kp_valid=kp.valid,
         line2d=jnp.zeros((LF, 3), jnp.float32),
@@ -84,10 +107,10 @@ def _gather_ba_problem_device(state: MapState, n_kf: jnp.ndarray, cfg: SLAMConfi
 
 def _keyframe_pipeline(
     state: MapState, frame: Frame, tr: tracking.TrackResult,
-    n_kf: jnp.ndarray, n_mp: jnp.ndarray, frame_id: jnp.ndarray,
+    n_kf: jnp.ndarray, n_mp: jnp.ndarray, n_ml: jnp.ndarray, frame_id: jnp.ndarray,
     intr: Intrinsics, cfg: SLAMConfig,
 ):
-    """Insert KF + triangulate vs two neighbors + local BA + cull.
+    """Insert KF + triangulate points/lines vs neighbors + local BA + cull.
     Mirrors LocalMapping::Run's per-keyframe sequence (LocalMapping.cc:52-176)."""
     k = n_kf
     st = lm.insert_keyframe(
@@ -97,13 +120,18 @@ def _keyframe_pipeline(
     st, n_mp = out1.state, n_mp + out1.n_new
     out2 = lm.create_new_points(st, k, jnp.maximum(k - 2, 0), n_mp, intr, cfg)
     st, n_mp = out2.state, n_mp + out2.n_new
+    if cfg.use_lines:
+        outl = lm.create_new_lines(st, k, jnp.maximum(k - 1, 0), n_ml, intr, cfg)
+        st, n_ml = outl.state, n_ml + outl.n_new
     prob, local_kf, local_mp = _gather_ba_problem_device(st, k + 1, cfg)
     ba = local_ba.bundle_adjust(prob, intr, cfg.optim)
     st = lm.apply_ba_result(st, local_kf, local_mp, ba)
     st = lm.cull_points(st, k + 1, cfg)
+    if cfg.use_lines:
+        st = lm.cull_lines(st, k + 1, cfg)
     # the tracked pose may have moved in BA
     T_new = st.kf_T_cw[k]
-    return st, n_mp, k + 1, T_new
+    return st, n_mp, n_ml, k + 1, T_new
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -131,19 +159,19 @@ def slam_step(
 
     def do_kf(op):
         state, frame, tr = op
-        st, n_mp, n_kf, T_new = _keyframe_pipeline(
-            state, frame, tr, carry.n_kf, carry.n_mp, frame_id, intr, cfg
+        st, n_mp, n_ml, n_kf, T_new = _keyframe_pipeline(
+            state, frame, tr, carry.n_kf, carry.n_mp, carry.n_ml, frame_id, intr, cfg
         )
-        return st, n_mp, n_kf, T_new, jnp.zeros((), jnp.int32), n_inl
+        return st, n_mp, n_ml, n_kf, T_new, jnp.zeros((), jnp.int32), n_inl
 
     def no_kf(op):
         state, frame, tr = op
         return (
-            state, carry.n_mp, carry.n_kf, tr.T_cw,
+            state, carry.n_mp, carry.n_ml, carry.n_kf, tr.T_cw,
             carry.frames_since_kf + 1, carry.inliers_at_kf,
         )
 
-    state, n_mp, n_kf, T_cw, frames_since, inl_at_kf = jax.lax.cond(
+    state, n_mp, n_ml, n_kf, T_cw, frames_since, inl_at_kf = jax.lax.cond(
         need_kf, do_kf, no_kf, (state, frame, tr)
     )
 
@@ -157,6 +185,7 @@ def slam_step(
         velocity=velocity,
         n_kf=n_kf,
         n_mp=n_mp,
+        n_ml=n_ml,
         frames_since_kf=frames_since,
         inliers_at_kf=inl_at_kf,
         ok=ok,
@@ -193,13 +222,14 @@ def pack_frame_out(out: FrameOut) -> jnp.ndarray:
 
 
 def make_carry(state: MapState, T_last, velocity, n_kf: int, n_mp: int,
-               inliers_at_kf: int) -> SLAMCarry:
+               inliers_at_kf: int, n_ml: int = 0) -> SLAMCarry:
     return SLAMCarry(
         state=state,
         T_last=jnp.asarray(T_last, jnp.float32),
         velocity=jnp.asarray(velocity, jnp.float32),
         n_kf=jnp.asarray(n_kf, jnp.int32),
         n_mp=jnp.asarray(n_mp, jnp.int32),
+        n_ml=jnp.asarray(n_ml, jnp.int32),
         frames_since_kf=jnp.asarray(0, jnp.int32),
         inliers_at_kf=jnp.asarray(inliers_at_kf, jnp.int32),
         ok=jnp.asarray(True),

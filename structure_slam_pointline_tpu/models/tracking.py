@@ -61,6 +61,8 @@ class TrackResult(NamedTuple):
     n_matches: jnp.ndarray     # scalar int32 (pre-optimization)
     local_pt_ids: jnp.ndarray  # [LOCAL_POINTS] global mp ids used (-1 pad)
     visible_pt: jnp.ndarray    # [LOCAL_POINTS] frustum-visible mask
+    local_ln_ids: jnp.ndarray  # [LOCAL_LINES] global ml ids used (-1 pad)
+    visible_ln: jnp.ndarray    # [LOCAL_LINES] frustum-visible mask
 
 
 def _scale_sigma2(octave: jnp.ndarray, scale_factor: float) -> jnp.ndarray:
@@ -222,6 +224,8 @@ def track_step(
         n_matches=n_match,
         local_pt_ids=pt_ids,
         visible_pt=vis2,
+        local_ln_ids=ln_ids,
+        visible_ln=lvis2,
     )
 
 
@@ -230,11 +234,17 @@ def update_seen_counters(state: MapState, tr: TrackResult, cfg: SLAMConfig) -> M
     """found/visible statistics feeding MapPointCulling
     (reference LocalMapping.cc:283-327 uses found/visible < 0.25)."""
     P = state.mp_valid.shape[0]
+    L = state.ml_valid.shape[0]
     vis_ids = jnp.where(tr.visible_pt & (tr.local_pt_ids >= 0), tr.local_pt_ids, P)
     mp_visible = state.mp_visible.at[vis_ids].add(1, mode="drop")
     found_ids = jnp.where(tr.feat_mp >= 0, tr.feat_mp, P)
     mp_found = state.mp_found.at[found_ids].add(1, mode="drop")
-    return state._replace(mp_visible=mp_visible, mp_found=mp_found)
+    lvis_ids = jnp.where(tr.visible_ln & (tr.local_ln_ids >= 0), tr.local_ln_ids, L)
+    ml_visible = state.ml_visible.at[lvis_ids].add(1, mode="drop")
+    lfound_ids = jnp.where(tr.line_ml >= 0, tr.line_ml, L)
+    ml_found = state.ml_found.at[lfound_ids].add(1, mode="drop")
+    return state._replace(mp_visible=mp_visible, mp_found=mp_found,
+                          ml_visible=ml_visible, ml_found=ml_found)
 
 
 __all__ = ["Frame", "TrackResult", "track_step", "update_seen_counters",
