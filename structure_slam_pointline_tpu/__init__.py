@@ -32,4 +32,16 @@ import jax as _jax
 # descriptor-distance matmuls are int8 and unaffected by this setting.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the fused pipeline steps are large XLA
+# programs; caching compilations across processes cuts minutes of startup.
+import os as _os
+
+_cache_dir = _os.environ.get("SSPL_COMPILE_CACHE", "/tmp/sspl_jax_cache")
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 from structure_slam_pointline_tpu.config import SLAMConfig  # noqa: F401
