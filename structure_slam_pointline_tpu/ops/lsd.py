@@ -44,15 +44,20 @@ class Lines(NamedTuple):
 
 
 def gradients(img: jnp.ndarray):
-    """Scharr-like gradients, zero border."""
-    kx = jnp.asarray([[-3.0, 0.0, 3.0], [-10.0, 0.0, 10.0], [-3.0, 0.0, 3.0]]) / 32.0
-    ky = kx.T
-    def conv(k):
-        return jax.lax.conv_general_dilated(
-            img[None, None], k[None, None], (1, 1), "SAME"
-        )[0, 0]
-    gx = conv(kx)
-    gy = conv(ky)
+    """Scharr gradients via shifted adds (VPU) — single-channel 3x3
+    convolutions lower catastrophically on the TPU MXU, rolls do not."""
+    def sh(dy, dx):
+        return jnp.roll(img, (-dy, -dx), axis=(0, 1))
+
+    # column differences I(x+1, y+k) - I(x-1, y+k)
+    d_m = sh(-1, 1) - sh(-1, -1)
+    d_0 = sh(0, 1) - sh(0, -1)
+    d_p = sh(1, 1) - sh(1, -1)
+    gx = (3.0 * (d_m + d_p) + 10.0 * d_0) / 32.0
+    r_m = sh(1, -1) - sh(-1, -1)
+    r_0 = sh(1, 0) - sh(-1, 0)
+    r_p = sh(1, 1) - sh(-1, 1)
+    gy = (3.0 * (r_m + r_p) + 10.0 * r_0) / 32.0
     mag = jnp.sqrt(gx * gx + gy * gy)
     return gx, gy, mag
 
@@ -64,23 +69,37 @@ def _angle_diff(a, b):
 
 
 def _bilinear(imgs, x, y):
-    """Sample each of a stack of [H, W] maps at float coords (shared grid)."""
+    """Sample each of a stack of [H, W] maps at float coords (shared grid).
+
+    Uses flattened 1-D gathers (XLA lowers these far better on TPU than
+    2-D advanced indexing)."""
     h, w = imgs[0].shape
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
     fx = jnp.clip(x - x0, 0.0, 1.0)
     fy = jnp.clip(y - y0, 0.0, 1.0)
+    base = y0 * w + x0
     outs = []
     for im in imgs:
-        v00 = im[y0, x0]
-        v01 = im[y0, x0 + 1]
-        v10 = im[y0 + 1, x0]
-        v11 = im[y0 + 1, x0 + 1]
+        flat = im.reshape(-1)
+        v00 = flat[base]
+        v01 = flat[base + 1]
+        v10 = flat[base + w]
+        v11 = flat[base + w + 1]
         outs.append(
             v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
             + v10 * (1 - fx) * fy + v11 * fx * fy
         )
     return outs
+
+
+def _nearest(imgs, x, y):
+    """Nearest-neighbor sampling, one flat gather per map."""
+    h, w = imgs[0].shape
+    xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
+    idx = yi * w + xi
+    return [im.reshape(-1)[idx] for im in imgs]
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -92,31 +111,49 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
 
     gx, gy, mag = gradients(img)
     gang = jnp.arctan2(gy, gx)          # gradient angle
-    # directional NMS: a pixel is an edge anchor if its magnitude beats the
-    # two neighbors along the gradient direction
-    nx = jnp.cos(gang)
-    ny = jnp.sin(gang)
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    m_plus, = _bilinear([mag], xx + nx, yy + ny)
-    m_minus, = _bilinear([mag], xx - nx, yy - ny)
+    # directional NMS across the edge, with the gradient direction
+    # quantized to 4 bins so the neighbor taps are whole-image rolls
+    grad_bin = jnp.mod(
+        jnp.round(jnp.mod(gang, jnp.pi) / (jnp.pi / 4.0)).astype(jnp.int32), 4
+    )
+    nbr_dirs = [(1, 0), (1, 1), (0, 1), (-1, 1)]
+    m_plus = jnp.zeros_like(mag)
+    m_minus = jnp.zeros_like(mag)
+    for b, (bdx, bdy) in enumerate(nbr_dirs):
+        mp = jnp.roll(mag, (-bdy, -bdx), axis=(0, 1))
+        mm = jnp.roll(mag, (bdy, bdx), axis=(0, 1))
+        sel = grad_bin == b
+        m_plus = jnp.where(sel, mp, m_plus)
+        m_minus = jnp.where(sel, mm, m_minus)
     is_peak = (mag >= m_plus) & (mag >= m_minus) & (mag > cfg.line_grad_threshold)
     # anchor quality = magnitude x orientation coherence along the level
     # line: true line points have aligned gradients at +-2/+-4 px along the
     # line direction, texture corners and blobs do not — without this,
     # cluttered scenes spend the whole anchor budget on texture.
-    ldx = -jnp.sin(gang)
-    ldy = jnp.cos(gang)
+    # The line direction is quantized to 4 bins so the "sample along the
+    # line" becomes cheap whole-image rolls (VPU) instead of dense gathers.
+    line_ang = jnp.mod(gang + jnp.pi / 2.0, jnp.pi)  # [0, pi)
+    bin_id = jnp.mod(jnp.round(line_ang / (jnp.pi / 4.0)).astype(jnp.int32), 4)
+    bin_dirs = [(1, 0), (1, 1), (0, 1), (-1, 1)]  # (dx, dy) per bin
     coher = jnp.zeros_like(mag)
-    for k in (2.0, 4.0):
-        for sgn in (1.0, -1.0):
-            s_gx, s_gy = _bilinear([gx, gy], xx + sgn * k * ldx, yy + sgn * k * ldy)
-            s_ang = jnp.arctan2(s_gy, s_gx)
-            s_mag = jnp.sqrt(s_gx * s_gx + s_gy * s_gy)
-            aligned = (_angle_diff(s_ang, gang) < cfg.line_angle_tol) & (
-                s_mag > 0.5 * cfg.line_grad_threshold
-            )
-            coher = coher + aligned.astype(mag.dtype)
+    for b, (bdx, bdy) in enumerate(bin_dirs):
+        in_bin = bin_id == b
+        acc = jnp.zeros_like(mag)
+        for k in (2, 4):
+            for sgn in (1, -1):
+                sh_x, sh_y = sgn * k * bdx, sgn * k * bdy
+                # roll shift (-dy, -dx) reads the pixel at (+dy, +dx)
+                g_x = jnp.roll(gx, (-sh_y, -sh_x), axis=(0, 1))
+                g_y = jnp.roll(gy, (-sh_y, -sh_x), axis=(0, 1))
+                s_ang = jnp.arctan2(g_y, g_x)
+                s_mag2 = g_x * g_x + g_y * g_y
+                aligned = (_angle_diff(s_ang, gang) < cfg.line_angle_tol) & (
+                    s_mag2 > (0.5 * cfg.line_grad_threshold) ** 2
+                )
+                acc = acc + aligned.astype(mag.dtype)
+        coher = jnp.where(in_bin, acc, coher)
     score = jnp.where(is_peak & (coher >= 3.0), mag * (1.0 + coher), 0.0)
     # border guard
     border = 4
@@ -143,9 +180,10 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
     # resample. 3 iterations replace a 192-step sequential scan — the
     # same self-correction, but latency goes from O(steps) kernel
     # launches to O(1) big gathers (TPU-friendly).
+    step_px = 1.5  # sample spacing: covers S*step_px pixels each direction
     ts = jnp.concatenate(
         [-jnp.arange(S, 0, -1, dtype=jnp.float32), jnp.arange(1, S + 1, dtype=jnp.float32)]
-    )  # [2S] ... -2 -1 1 2 ...
+    ) * step_px  # [2S]
     neg_half = slice(0, S)    # descending toward the anchor
     pos_half = slice(S, 2 * S)
 
@@ -159,21 +197,23 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
         nyi = dxi
         px = cx_[:, None] + dxi[:, None] * ts[None, :]     # [K, 2S]
         py = cy_[:, None] + dyi[:, None] * ts[None, :]
-        # single batched gather for the 3 lateral magnitude taps
-        m3 = _bilinear(
+        # one batched nearest gather: 3 lateral magnitude taps + angle map
+        # (nearest sampling of the angle map has no wrap problem, unlike
+        # interpolation). 4 gathers/iteration total.
+        m3a = _nearest(
             [mag],
-            jnp.stack([px - nxi[:, None], px, px + nxi[:, None]], axis=0),
-            jnp.stack([py - nyi[:, None], py, py + nyi[:, None]], axis=0),
+            jnp.stack([px - nxi[:, None], px, px + nxi[:, None], px], axis=0),
+            jnp.stack([py - nyi[:, None], py, py + nyi[:, None], py], axis=0),
         )[0]
-        m_m, m_0, m_p = m3[0], m3[1], m3[2]
+        m_m, m_0, m_p = m3a[0], m3a[1], m3a[2]
         denom = m_m - 2.0 * m_0 + m_p
         delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (m_m - m_p) / denom, 0.0)
         delta = jnp.clip(delta, -1.5, 1.5)
         qx = px + delta * nxi[:, None]
         qy = py + delta * nyi[:, None]
-        s_gx, s_gy = _bilinear([gx, gy], qx, qy)
-        s_ang = jnp.arctan2(s_gy, s_gx)
-        s_mag = jnp.sqrt(s_gx * s_gx + s_gy * s_gy)
+        # angle at the snapped (on-ridge) position, where it is well-defined
+        s_ang, = _nearest([gang], qx, qy)
+        s_mag = jnp.maximum(jnp.maximum(m_m, m_p), m_0)
         # expected gradient orientation is perpendicular to the refit line
         expect_ang = d_ang + jnp.pi / 2
         aligned = (
@@ -203,7 +243,7 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
         msum = jnp.sum(wgt, axis=1)
         return mx_, my_, new_ang, (len_p, len_m, msum, run)
 
-    for _ in range(3):
+    for _ in range(2):
         cx_, cy_, d_ang, stats = one_iter(cx_, cy_, d_ang, None)
     # final evaluation pass at the refit geometry: t offsets in `run` are
     # relative to the center the samples were taken from, so endpoints must
