@@ -31,26 +31,26 @@ def level_scales(n_levels: int, scale_factor: float) -> np.ndarray:
     return np.asarray([scale_factor ** lv for lv in range(n_levels)], np.float32)
 
 
-def gaussian_kernel1d(sigma: float, radius: int = 3) -> jnp.ndarray:
+def gaussian_kernel1d(sigma: float, radius: int = 3) -> np.ndarray:
+    """Pure-numpy kernel (safe to unroll as Python floats under jit)."""
     x = np.arange(-radius, radius + 1, dtype=np.float32)
     k = np.exp(-0.5 * (x / sigma) ** 2)
-    return jnp.asarray(k / k.sum())
+    return k / k.sum()
 
 
 def blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.ndarray:
-    """Separable Gaussian blur on a single-channel [H, W] image."""
+    """Separable Gaussian blur via shifted adds (VPU).
+
+    Single-channel convolutions lower catastrophically on the TPU MXU;
+    2*(2r+1) rolls + fused multiply-adds are effectively free."""
     k = gaussian_kernel1d(sigma, radius)
-    pad = radius
-    x = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
-    # depthwise 1D convs via conv_general_dilated on [1, 1, H, W]
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :], k[None, None, :, None], (1, 1), "VALID"
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :], k[None, None, None, :], (1, 1), "VALID"
-    )[0, 0]
-    return x
+    x = jnp.zeros_like(img)
+    for i, w in enumerate(k):
+        x = x + float(w) * jnp.roll(img, i - radius, axis=0)
+    y = jnp.zeros_like(img)
+    for i, w in enumerate(k):
+        y = y + float(w) * jnp.roll(x, i - radius, axis=1)
+    return y
 
 
 @partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
