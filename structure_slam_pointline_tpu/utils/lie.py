@@ -64,22 +64,32 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """Log map [..., 3, 3] -> [..., 3], stable near 0 and pi."""
+    """Log map [..., 3, 3] -> [..., 3], stable near 0 and pi.
+
+    Autodiff-safe: every branch's formula has finite derivatives on the
+    whole input domain (jacfwd evaluates unselected `where` branches too,
+    so e.g. arccos'(1) = inf at the identity would poison pose-graph
+    Jacobians).
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    theta = jnp.arccos(jnp.clip(cos_t, -1.0 + 1e-7, 1.0 - 1e-7))
     w_raw = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-2
-    scale_generic = theta / jnp.where(small | (jnp.abs(sin_t) < _EPS), 1.0, sin_t)
-    scale_small = 1.0 + theta * theta / 6.0
+    small = cos_t > 1.0 - 1e-4  # theta < ~1.4e-2
+    # generic: theta/sin(theta) with inputs clamped away from the poles
+    cos_gen = jnp.clip(cos_t, -1.0 + 1e-6, 1.0 - 1e-6)
+    theta_gen = jnp.arccos(cos_gen)
+    scale_generic = theta_gen / jnp.sin(theta_gen)
+    # small: Taylor of theta/sin(theta) in (1 - cos): theta^2 ~ 2(1-c)
+    one_m_c = 1.0 - cos_t
+    scale_small = 1.0 + one_m_c / 3.0 + 7.0 * one_m_c * one_m_c / 45.0
     near_pi = cos_t < -1.0 + 1e-5
     w_generic = jnp.where(
         small[..., None], w_raw * scale_small[..., None], w_raw * scale_generic[..., None]
     )
     # Near pi: axis from diagonal of (R + I)/2 = aa^T approx
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
-    axis2 = jnp.maximum((diag + 1.0) * 0.5, 0.0)
+    axis2 = jnp.maximum((diag + 1.0) * 0.5, 1e-12)  # keep sqrt' finite
     axis = jnp.sqrt(axis2)
     # fix signs using off-diagonals relative to the largest axis component
     k = jnp.argmax(axis2, axis=-1)
