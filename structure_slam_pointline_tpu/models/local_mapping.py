@@ -397,6 +397,77 @@ def cull_lines(state: MapState, n_kf: jnp.ndarray, cfg: SLAMConfig) -> MapState:
     return state._replace(ml_valid=ml_valid, kf_line_ml=kf_line_ml)
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def cull_keyframes(state: MapState, n_kf: jnp.ndarray, cfg: SLAMConfig) -> MapState:
+    """KeyFrameCulling (reference LocalMapping.cc:1382-1446): invalidate a
+    keyframe if >= 90% of the landmarks it observes are observed by at
+    least 3 other keyframes. Keyframes 0/1 and the most recent two are
+    protected. Runs over the whole [K, F] grid in one pass."""
+    K, F = state.kf_kp_mp.shape
+    P = state.mp_valid.shape[0]
+    obs = point_obs_counts(state)                      # [P]
+    has_edge = state.kf_kp_mp >= 0
+    mp_safe = jnp.clip(state.kf_kp_mp, 0, P - 1)
+    redundant_edge = has_edge & (obs[mp_safe] >= 4)    # seen by >= 3 others
+    n_obs_kf = has_edge.sum(axis=1)
+    n_red_kf = redundant_edge.sum(axis=1)
+    ratio = n_red_kf.astype(jnp.float32) / jnp.maximum(n_obs_kf.astype(jnp.float32), 1.0)
+    ids = jnp.arange(K)
+    protected = (ids <= 1) | (ids >= n_kf - 2) | ~state.kf_valid
+    cull = ~protected & (ratio > cfg.map.kf_cull_redundancy) & (n_obs_kf > 20)
+    kf_valid = state.kf_valid & ~cull
+    # erase the culled keyframes' observations
+    kf_kp_mp = jnp.where(cull[:, None], -1, state.kf_kp_mp)
+    kf_line_ml = jnp.where(cull[:, None], -1, state.kf_line_ml)
+    return state._replace(kf_valid=kf_valid, kf_kp_mp=kf_kp_mp, kf_line_ml=kf_line_ml)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def fuse_duplicate_points(state: MapState, k_new: jnp.ndarray, n_kf: jnp.ndarray,
+                          intr: Intrinsics, cfg: SLAMConfig) -> MapState:
+    """Landmark fusion (reference LocalMapping::SearchInNeighbors,
+    LocalMapping.cc:1178-1279): the new keyframe's landmarks are projected
+    into itself against OTHER landmarks' bindings; duplicates — landmarks
+    whose projections fall within a tight window with matching descriptors
+    — are merged into the older id. Here the equivalent dedup runs in
+    landmark space: recent landmarks close in 3D with close descriptors
+    merge into the older landmark, and all edge bindings are redirected."""
+    P = state.mp_valid.shape[0]
+    RECENT = 512
+    # candidates: newest RECENT landmarks vs the full valid set
+    recent_mask = state.mp_valid & (state.mp_first_kf >= jnp.maximum(n_kf - 2, 0))
+    idx = jnp.nonzero(recent_mask, size=RECENT, fill_value=-1)[0]
+    ok = idx >= 0
+    safe = jnp.clip(idx, 0, P - 1)
+    xyz_r = state.mp_xyz[safe]                        # [R, 3]
+    # nearest older landmark within radius; |a-b|^2 via matmul (MXU), no
+    # [R, P, 3] broadcast materialization
+    d2 = (
+        jnp.sum(xyz_r * xyz_r, axis=1)[:, None]
+        + jnp.sum(state.mp_xyz * state.mp_xyz, axis=1)[None, :]
+        - 2.0 * xyz_r @ state.mp_xyz.T
+    )
+    older = state.mp_valid[None, :] & (state.mp_first_kf[None, :] < state.mp_first_kf[safe][:, None])
+    dist_scale = jnp.maximum(jnp.linalg.norm(xyz_r, axis=-1), 1.0)
+    thresh = (0.01 * dist_scale) ** 2                 # 1% of distance
+    cand = older & (d2 <= thresh[:, None])
+    from structure_slam_pointline_tpu.ops import hamming as _h
+
+    dd = _h.hamming_matrix(state.mp_desc[safe], state.mp_desc)
+    cand &= dd <= cfg.matching.th_low
+    best = jnp.argmin(jnp.where(cand, dd, 1 << 20), axis=1)
+    has = jnp.any(cand, axis=1) & ok
+    # redirect: map each merged recent landmark -> its older duplicate
+    redirect = jnp.arange(P, dtype=jnp.int32)
+    redirect = redirect.at[jnp.where(has, safe, P)].set(
+        best.astype(jnp.int32), mode="drop"
+    )
+    mp_valid = state.mp_valid.at[jnp.where(has, safe, P)].set(False, mode="drop")
+    mp_safe_tbl = jnp.clip(state.kf_kp_mp, 0, P - 1)
+    kf_kp_mp = jnp.where(state.kf_kp_mp >= 0, redirect[mp_safe_tbl], state.kf_kp_mp)
+    return state._replace(mp_valid=mp_valid, kf_kp_mp=kf_kp_mp)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def apply_ba_result(
     state: MapState,

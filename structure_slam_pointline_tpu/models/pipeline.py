@@ -123,12 +123,14 @@ def _keyframe_pipeline(
     if cfg.use_lines:
         outl = lm.create_new_lines(st, k, jnp.maximum(k - 1, 0), n_ml, intr, cfg)
         st, n_ml = outl.state, n_ml + outl.n_new
+    st = lm.fuse_duplicate_points(st, k, k + 1, intr, cfg)
     prob, local_kf, local_mp = _gather_ba_problem_device(st, k + 1, cfg)
     ba = local_ba.bundle_adjust(prob, intr, cfg.optim)
     st = lm.apply_ba_result(st, local_kf, local_mp, ba)
     st = lm.cull_points(st, k + 1, cfg)
     if cfg.use_lines:
         st = lm.cull_lines(st, k + 1, cfg)
+    st = lm.cull_keyframes(st, k + 1, cfg)
     # the tracked pose may have moved in BA
     T_new = st.kf_T_cw[k]
     return st, n_mp, n_ml, k + 1, T_new

@@ -73,6 +73,7 @@ class SLAMSystem:
         self.log: List[FrameLog] = []
         self._lost_count = 0
         self.carry: Optional[pipeline.SLAMCarry] = None  # device pipeline state
+        self._loop_closer = None  # lazy: shared vocabulary + BoW index
 
     # ------------------------------------------------------------------ #
     # frame building
