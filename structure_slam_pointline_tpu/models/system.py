@@ -108,23 +108,44 @@ class SLAMSystem:
             T = self._track_device(img, frame_id)
         return T
 
+    SCAN_CHUNK = 25  # fixed scan length => exactly one compiled scan program
+
     def track_sequence(self, imgs: np.ndarray, first_frame_id: int):
-        """Batch mode: run a whole [N, H, W] sequence as one lax.scan XLA
-        program (zero per-frame host round-trips). Requires an initialized
-        map. Returns (T_cw [N, 4, 4], ok [N], n_inliers [N], is_kf [N])."""
+        """Batch mode: stream a [N, H, W] sequence through lax.scan in
+        fixed-size chunks (zero per-frame host round-trips; one compiled
+        program regardless of N). Requires an initialized map.
+        Returns (T_cw [N, 4, 4], ok [N], n_inliers [N], is_kf [N])."""
         assert self.carry is not None, "initialize first (track() two frames)"
-        self.carry, outs = pipeline.slam_scan(
-            self.carry, jnp.asarray(imgs, jnp.float32),
-            jnp.asarray(first_frame_id, jnp.int32), self.intr, self.cfg,
-        )
+        imgs_j = jnp.asarray(imgs, jnp.float32)
+        n = imgs_j.shape[0]
+        outs_all = []
+        i = 0
+        while i + self.SCAN_CHUNK <= n:
+            self.carry, outs = pipeline.slam_scan(
+                self.carry, imgs_j[i : i + self.SCAN_CHUNK],
+                jnp.asarray(first_frame_id + i, jnp.int32), self.intr, self.cfg,
+            )
+            outs_all.append(jax.device_get(
+                (outs.T_cw, outs.ok, outs.n_inliers, outs.is_kf)))
+            i += self.SCAN_CHUNK
+        # remainder: per-frame steps (same compiled slam_step as online mode)
+        rem = []
+        for j in range(i, n):
+            self.carry, out = pipeline.slam_step(
+                self.carry, imgs_j[j], jnp.asarray(first_frame_id + j, jnp.int32),
+                self.intr, self.cfg,
+            )
+            rem.append(jax.device_get(
+                (out.T_cw[None], out.ok[None], out.n_inliers[None], out.is_kf[None])))
+        outs_all.extend(rem)
+        T = np.concatenate([o[0] for o in outs_all])
+        ok = np.concatenate([o[1] for o in outs_all])
+        n_inl = np.concatenate([o[2] for o in outs_all])
+        is_kf = np.concatenate([o[3] for o in outs_all])
         self.map = self.carry.state
-        T, ok, n_inl, is_kf = jax.device_get(
-            (outs.T_cw, outs.ok, outs.n_inliers, outs.is_kf)
-        )
-        for i in range(len(ok)):
-            st = TrackingState.OK if ok[i] else TrackingState.LOST
-            self.state = st
-            self._log(first_frame_id + i, T[i] if ok[i] else None, int(n_inl[i]), bool(is_kf[i]))
+        for k in range(len(ok)):
+            self.state = TrackingState.OK if ok[k] else TrackingState.LOST
+            self._log(first_frame_id + k, T[k] if ok[k] else None, int(n_inl[k]), bool(is_kf[k]))
         self.cur.n_kf = int(self.carry.n_kf)
         self.cur.n_mp = int(self.carry.n_mp)
         self.last_T = T[-1]

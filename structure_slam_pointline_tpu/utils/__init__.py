@@ -1,1 +1,1 @@
-from structure_slam_pointline_tpu.utils import camera, lie, robust  # noqa: F401
+from structure_slam_pointline_tpu.utils import camera, lie, metrics, robust  # noqa: F401

@@ -116,3 +116,19 @@ class TestDatasets:
         np.testing.assert_allclose(ts, ts2)
         for i in range(5):
             np.testing.assert_allclose(Twc[i], np.linalg.inv(Ts[i]), atol=1e-5)
+
+
+class TestMetrics:
+    def test_registry(self):
+        from structure_slam_pointline_tpu.utils.metrics import Metrics
+
+        m = Metrics()
+        m.count("frames")
+        m.count("frames")
+        with m.timer("step"):
+            pass
+        m.record("inliers", 120)
+        s = m.summary()
+        assert s["counters"]["frames"] == 2
+        assert s["timers_ms"]["step"]["n"] == 1
+        assert s["series"]["inliers"]["mean"] == 120
