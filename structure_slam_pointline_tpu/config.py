@@ -97,7 +97,7 @@ class OptimConfig:
     """LM budgets + chi2 gates (Optimizer.cc:700-701, 870-872, 1475, 1522)."""
 
     pose_rounds: int = 4             # 4 rounds x 10 iters pose-only LM
-    pose_iters: int = 10
+    pose_iters: int = 6
     chi2_mono: float = 5.991         # 2-DoF 95% gate for point edges
     chi2_line: float = 5.991         # per line-endpoint gate (Optimizer.cc:870-872 uses 2x5.991/line)
     huber_delta_point: float = 2.4477  # sqrt(5.991) (Optimizer.cc:700)

@@ -31,8 +31,8 @@ from structure_slam_pointline_tpu.utils import camera as cam_utils
 from structure_slam_pointline_tpu.utils.camera import Intrinsics
 from structure_slam_pointline_tpu.world.map_store import MapState
 
-LOCAL_POINTS = 4096
-LOCAL_LINES = 512
+LOCAL_POINTS = 2048
+LOCAL_LINES = 256
 
 
 class Frame(NamedTuple):

@@ -56,8 +56,11 @@ def extract_orb(img: jnp.ndarray, cfg: FrontendConfig, n_keypoints: int | None =
     budgets = level_budgets(k_total, cfg.n_levels, cfg.scale_factor)
     scales = pyramid.level_scales(cfg.n_levels, cfg.scale_factor)
 
+    # image values flow in bfloat16 (half the HBM traffic; FAST thresholds
+    # and BRIEF comparisons are insensitive to the 8-bit mantissa) —
+    # coordinates and geometry stay float32 throughout
     levels, blurred = pyramid.build_blurred_pyramid(
-        img, cfg.n_levels, cfg.scale_factor, cfg.blur_sigma
+        img.astype(jnp.bfloat16), cfg.n_levels, cfg.scale_factor, cfg.blur_sigma
     )
 
     parts = []

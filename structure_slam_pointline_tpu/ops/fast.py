@@ -107,6 +107,7 @@ def select_keypoints(
     scheme, ORBextractor.cc:800-812). A per-cell cap of `cell_cap`
     replicates DistributeOctTree's spatial spreading.
     """
+    score = score.astype(jnp.float32)  # bf16 scores would quantize under the bonus
     h, w = score.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)

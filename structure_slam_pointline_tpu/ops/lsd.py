@@ -45,7 +45,12 @@ class Lines(NamedTuple):
 
 def gradients(img: jnp.ndarray):
     """Scharr gradients via shifted adds (VPU) — single-channel 3x3
-    convolutions lower catastrophically on the TPU MXU, rolls do not."""
+    convolutions lower catastrophically on the TPU MXU, rolls do not.
+
+    Runs in bfloat16: gradient *values* tolerate the 8-bit mantissa and the
+    corridor gathers read half the bytes (coordinates stay float32)."""
+    img = img.astype(jnp.bfloat16)
+
     def sh(dy, dx):
         return jnp.roll(img, (-dy, -dx), axis=(0, 1))
 
@@ -110,7 +115,9 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
     L = cfg.n_lines
 
     gx, gy, mag = gradients(img)
-    gang = jnp.arctan2(gy, gx)          # gradient angle
+    # angle map in f32: orientation is the precision-sensitive quantity
+    # (magnitude taps stay bf16)
+    gang = jnp.arctan2(gy.astype(jnp.float32), gx.astype(jnp.float32))
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     # directional NMS across the edge, with the gradient direction
@@ -221,6 +228,12 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
             & (s_mag > 0.5 * cfg.line_grad_threshold)
             & (qx >= 1) & (qx < w - 2) & (qy >= 1) & (qy < h - 2)
         )
+        # bridge isolated bad samples (noise, crossings): a sample counts if
+        # it is aligned or both its neighbors along the walk are (the
+        # region-density tolerance real LSD gets from region growing)
+        nb_prev = jnp.roll(aligned, 1, axis=1)
+        nb_next = jnp.roll(aligned, -1, axis=1)
+        aligned = aligned | (nb_prev & nb_next)
         # contiguous run through the anchor: cumprod outward on each half
         pos_pref = jnp.cumprod(aligned[:, pos_half].astype(jnp.float32), axis=1)
         neg_pref = jnp.cumprod(

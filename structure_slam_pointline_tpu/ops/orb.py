@@ -131,7 +131,7 @@ def unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit)
 def orient_and_describe(img_blur: jnp.ndarray, xy: jnp.ndarray):
     """Full per-level descriptor pass: (angles [K], packed desc uint32 [K, 8])."""
-    patches = gather_patches(img_blur, xy)
+    patches = gather_patches(img_blur, xy).astype(jnp.float32)
     ang = ic_angle(patches)
     desc = describe(patches, ang)
     return ang, desc

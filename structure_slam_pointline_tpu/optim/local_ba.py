@@ -120,14 +120,31 @@ def bundle_adjust(prob: BAProblem, intr: Intrinsics, cfg: OptimConfig) -> BAResu
             # camera blocks
             Hcc = jnp.einsum("kf,kfei,kfej->kij", w, Jc, Jc)
             bc = -jnp.einsum("kf,kfei,kfe->ki", w, Jc, r)
-            # point blocks (scatter over local landmark ids)
-            Wpp = jnp.einsum("kf,kfei,kfej->kfij", w, Jx, Jx).reshape(-1, 3, 3)
-            bp_e = -jnp.einsum("kf,kfei,kfe->kfi", w, Jx, r).reshape(-1, 3)
-            Hpp = jnp.zeros((PL, 3, 3), dtype).at[mp_l].add(Wpp, mode="drop")
-            bp = jnp.zeros((PL, 3), dtype).at[mp_l].add(bp_e, mode="drop")
-            # coupling blocks A[p, k] 6x3
-            Wcp = jnp.einsum("kf,kfei,kfej->kfij", w, Jc, Jx).reshape(-1, 6, 3)
-            A = jnp.zeros((PL, KL, 6, 3), dtype).at[mp_l, kf_l].add(Wcp, mode="drop")
+            # landmark + coupling blocks via one-hot matmul segment sums —
+            # scatter-add serializes on TPU, a [F, PL] one-hot contraction
+            # rides the MXU (exact: one-hot entries are 0/1)
+            Wpp = jnp.einsum("kf,kfei,kfej->kfij", w, Jx, Jx)    # [KL, F, 3, 3]
+            bp_e = -jnp.einsum("kf,kfei,kfe->kfi", w, Jx, r)     # [KL, F, 3]
+            Wcp = jnp.einsum("kf,kfei,kfej->kfij", w, Jc, Jx)    # [KL, F, 6, 3]
+            mp_lk = jnp.where(ev, prob.edge_mp, PL)              # [KL, F]
+            pl_ids = jnp.arange(PL, dtype=jnp.int32)
+
+            def seg_per_kf(args):
+                mp_k, Wpp_k, bp_k, Wcp_k = args
+                oh = (mp_k[:, None] == pl_ids[None, :]).astype(dtype)  # [F, PL]
+                flat = jnp.concatenate(
+                    [Wpp_k.reshape(-1, 9), bp_k, Wcp_k.reshape(-1, 18)], axis=1
+                )  # [F, 30]
+                out = jax.lax.dot_general(
+                    oh, flat, (((0,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                )  # [PL, 30]
+                return out
+
+            seg = jax.lax.map(seg_per_kf, (mp_lk, Wpp, bp_e, Wcp))  # [KL, PL, 30]
+            Hpp = jnp.sum(seg[..., :9], axis=0).reshape(PL, 3, 3)
+            bp = jnp.sum(seg[..., 9:12], axis=0)
+            A = seg[..., 12:].transpose(1, 0, 2).reshape(PL, KL, 6, 3)
 
             # damp + invert point blocks
             lamI3 = lam * jnp.eye(3, dtype=dtype)
