@@ -65,8 +65,10 @@ def build_frame_device(img: jnp.ndarray, intr: Intrinsics, cfg: SLAMConfig) -> F
     xy = cam_utils.undistort_pixels(intr, kp.xy) if cfg.camera.has_distortion else kp.xy
     LF = fe.n_lines
     if cfg.use_lines:
-        ln = lsd.detect_lines(img, fe)
-        ldesc, _ = lbd.describe_lines(img, ln.endpoints, ln.valid)
+        with jax.named_scope("lsd"):
+            ln = lsd.detect_lines(img, fe)
+        with jax.named_scope("lbd"):
+            ldesc, _ = lbd.describe_lines(img, ln.endpoints, ln.valid)
         line_ep = ln.endpoints
         line2d = ln.line2d
         if cfg.camera.has_distortion:
@@ -142,13 +144,16 @@ def slam_step(
     intr: Intrinsics, cfg: SLAMConfig,
 ):
     """One tracked frame, fully on device."""
-    frame = build_frame_device(img, intr, cfg)
+    with jax.named_scope("frontend"):
+        frame = build_frame_device(img, intr, cfg)
     T_pred = carry.velocity @ carry.T_last
     kf_lo = jnp.maximum(carry.n_kf - cfg.map.local_window_kf, 0)
     # when lost, search the whole map wide (relocalization-lite)
     kf_lo = jnp.where(carry.ok, kf_lo, 0)
-    tr = tracking.track_step(carry.state, frame, T_pred, kf_lo, intr, cfg)
-    state = tracking.update_seen_counters(carry.state, tr, cfg)
+    with jax.named_scope("track"):
+        tr = tracking.track_step(carry.state, frame, T_pred, kf_lo, intr, cfg)
+    with jax.named_scope("counters"):
+        state = tracking.update_seen_counters(carry.state, tr, cfg)
 
     n_inl = tr.n_inliers
     ok = n_inl >= jnp.where(carry.ok, 15, 30)

@@ -185,11 +185,13 @@ def track_step(
         return res, m, visible, lm, lvis
 
     # pass 1: wide search with motion-model pose
-    res1, m1, vis1, lm1, lvis1 = one_round(
-        T_pred, cfg.matching.search_radius_motion, 30.0
-    )
+    with jax.named_scope("pass1"):
+        res1, m1, vis1, lm1, lvis1 = one_round(
+            T_pred, cfg.matching.search_radius_motion, 30.0
+        )
     # pass 2: tight re-search with the refined pose
-    res2, m2, vis2, lm2, lvis2 = one_round(res1.T_cw, 4.0, 15.0)
+    with jax.named_scope("pass2"):
+        res2, m2, vis2, lm2, lvis2 = one_round(res1.T_cw, 4.0, 15.0)
 
     # prefer pass-2 matches; keep pass-1 where pass 2 found nothing
     use2 = m2.valid
