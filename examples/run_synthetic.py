@@ -54,6 +54,10 @@ def main():
 
     traj = slam.trajectory()
     ids = sorted(traj.keys())
+    if not ids:
+        print(f"tracked 0/{args.frames} | map never initialized "
+              f"(two-view init needs ~10+ frames of parallax)")
+        return
     est_wc = np.stack([np.linalg.inv(traj[i]) for i in ids])
     ate = synthetic.ate_rmse(est_wc, poses[ids])
     print(f"tracked {len(ids)}/{args.frames} | ATE RMSE (Sim3) {ate:.4f} | "

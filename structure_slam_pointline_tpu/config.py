@@ -55,8 +55,8 @@ class FrontendConfig:
     blur_sigma: float = 2.0          # GaussianBlur(7,7,2,2) before describe (ORBextractor.cc:1067)
 
     n_lines: int = 64                # line budget (ref keeps top-40, ExtractLineSegment.cpp:42-51)
-    line_anchor_count: int = 1024     # candidate anchors for line growing
-    line_walk_steps: int = 64        # max growth steps each direction (fixed-iteration)
+    line_anchor_count: int = 256     # refinement candidates from the dense support pass
+    line_walk_steps: int = 48        # refinement corridor samples each side (2 px spacing)
     line_grad_threshold: float = 10.0
     line_angle_tol: float = 0.3926990816987  # 22.5 deg orientation alignment tolerance
     line_min_length: float = 24.0    # min segment length in px

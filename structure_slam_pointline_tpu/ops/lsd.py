@@ -1,20 +1,27 @@
-"""Line segment detection: gradient-aligned anchor walks, fully batched.
+"""Line segment detection: dense run-length propagation, fully batched.
 
 TPU-native replacement for OpenCV's `LSDDetector` as used by the
 reference (`LineSegment::ExtractLineSegment`, reference
 src/ExtractLineSegment.cpp:18-69: LSD at scale 1.2 / 1 octave, keep the
 top-40 segments by response). True LSD region-growing is data-dependent
-control flow; the TPU design replaces it with an EDLines-style scheme
-whose every stage is a fixed-shape batch op:
+control flow, and per-sample corridor gathers run on the TPU scalar core
+(~8 ns/element — profiled as the whole pipeline's top cost). This design
+keeps the search DENSE (whole-image VPU ops) and gathers only for the
+few winning candidates:
 
 1. Scharr gradients; level-line angle = gradient angle + 90deg.
-2. Anchors: gradient-magnitude maxima across the edge direction
-   (directional NMS), spatially spread by per-cell top-k.
-3. From each anchor, walk +-`walk_steps` unit steps along the line
-   direction, bilinearly sampling gradient orientation; the run stops at
-   the first misaligned/weak sample (computed with a cumulative-product
-   mask — one lax pass, no loops over data-dependent lengths).
-4. Endpoint refit + response = length * mean gradient magnitude.
+2. For each of 16 exact integer direction vectors: an alignment mask
+   (orientation within tolerance, magnitude above threshold, laterally
+   dilated 1 px), then the maximal aligned RUN through every pixel via
+   log-doubling (7 rolls forward + 7 backward) — run length in O(log S)
+   whole-image shifts, no per-sample gathers.
+3. Candidate anchors = directional-NMS ridge pixels at run starts;
+   score = run length x magnitude; best direction kept per pixel;
+   spatially-spread top-K selection (per-cell cap).
+4. Sparse refinement for the K winners only: 3-tap lateral magnitude
+   parabola snap along the coarse segment, weighted PCA line refit,
+   contiguity cumprod -> subpixel endpoints + response
+   (length x mean magnitude).
 5. Pairwise suppression of duplicate/overlapping collinear segments
    ([K, K] masks), then top-`n_lines` by response.
 
@@ -107,6 +114,40 @@ def _nearest(imgs, x, y):
     return [im.reshape(-1)[idx] for im in imgs]
 
 
+# 16 exact integer direction vectors covering [0, pi): support sums
+# propagate on their lattice multiples, so every doubling shift lands on
+# the grid exactly.
+_DIR_VECS = (
+    (2, 0), (4, 1), (2, 1), (4, 3), (2, 2), (3, 4), (2, 4), (1, 4),
+    (0, 2), (-1, 4), (-2, 4), (-3, 4), (-2, 2), (-4, 3), (-2, 1), (-4, 1),
+)
+_N_DOUBLINGS = 5  # support window = 2^5 steps each way (>= 64 px at |v| >= 2)
+
+
+def _shift(m: jnp.ndarray, dx: int, dy: int, fill=0.0) -> jnp.ndarray:
+    """Value at (y + dy, x + dx); `fill` outside the image (no wrap)."""
+    h, w = m.shape
+    out = jnp.roll(m, (-dy, -dx), axis=(0, 1))
+    if dy:
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        out = jnp.where((yy + dy >= 0) & (yy + dy < h), out, fill)
+    if dx:
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        out = jnp.where((xx + dx >= 0) & (xx + dx < w), out, fill)
+    return out
+
+
+def _support_sum(m: jnp.ndarray, vx: int, vy: int) -> jnp.ndarray:
+    """Sum of `m` over 2^_N_DOUBLINGS consecutive +v steps from each pixel
+    (self included), via log-doubling partial sums: O(log S) shifts."""
+    s = m
+    step = 1
+    for _ in range(_N_DOUBLINGS):
+        s = s + _shift(s, vx * step, vy * step)
+        step *= 2
+    return s
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
     h, w = img.shape
@@ -118,8 +159,7 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
     # angle map in f32: orientation is the precision-sensitive quantity
     # (magnitude taps stay bf16)
     gang = jnp.arctan2(gy.astype(jnp.float32), gx.astype(jnp.float32))
-    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    magf = mag.astype(jnp.float32)
     # directional NMS across the edge, with the gradient direction
     # quantized to 4 bins so the neighbor taps are whole-image rolls
     grad_bin = jnp.mod(
@@ -135,42 +175,42 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
         m_plus = jnp.where(sel, mp, m_plus)
         m_minus = jnp.where(sel, mm, m_minus)
     is_peak = (mag >= m_plus) & (mag >= m_minus) & (mag > cfg.line_grad_threshold)
-    # anchor quality = magnitude x orientation coherence along the level
-    # line: true line points have aligned gradients at +-2/+-4 px along the
-    # line direction, texture corners and blobs do not — without this,
-    # cluttered scenes spend the whole anchor budget on texture.
-    # The line direction is quantized to 4 bins so the "sample along the
-    # line" becomes cheap whole-image rolls (VPU) instead of dense gathers.
-    line_ang = jnp.mod(gang + jnp.pi / 2.0, jnp.pi)  # [0, pi)
-    bin_id = jnp.mod(jnp.round(line_ang / (jnp.pi / 4.0)).astype(jnp.int32), 4)
-    bin_dirs = [(1, 0), (1, 1), (0, 1), (-1, 1)]  # (dx, dy) per bin
-    coher = jnp.zeros_like(mag)
-    for b, (bdx, bdy) in enumerate(bin_dirs):
-        in_bin = bin_id == b
-        acc = jnp.zeros_like(mag)
-        for k in (2, 4):
-            for sgn in (1, -1):
-                sh_x, sh_y = sgn * k * bdx, sgn * k * bdy
-                # roll shift (-dy, -dx) reads the pixel at (+dy, +dx)
-                g_x = jnp.roll(gx, (-sh_y, -sh_x), axis=(0, 1))
-                g_y = jnp.roll(gy, (-sh_y, -sh_x), axis=(0, 1))
-                s_ang = jnp.arctan2(g_y, g_x)
-                s_mag2 = g_x * g_x + g_y * g_y
-                aligned = (_angle_diff(s_ang, gang) < cfg.line_angle_tol) & (
-                    s_mag2 > (0.5 * cfg.line_grad_threshold) ** 2
-                )
-                acc = acc + aligned.astype(mag.dtype)
-        coher = jnp.where(in_bin, acc, coher)
-    score = jnp.where(is_peak & (coher >= 3.0), mag * (1.0 + coher), 0.0)
-    # border guard
-    border = 4
-    inb = (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
-    score = jnp.where(inb, score, 0.0)
+    line_ang = jnp.mod(gang + jnp.pi / 2.0, jnp.pi)  # level-line dir, [0, pi)
+    weak = mag > 0.5 * cfg.line_grad_threshold
 
-    # spatially-spread anchors (per-cell cap, reuse the keypoint selector)
-    axy, aresp, avalid = fast_mod.select_keypoints(
-        score, k=K, cell=16, cell_cap=2, threshold=cfg.line_grad_threshold,
-        min_threshold=cfg.line_grad_threshold, border=border,
+    # ---- dense support pass: gap-tolerant aligned support through every
+    # pixel, per quantized direction, via log-doubling sums (no gathers).
+    # The pairwise-consecutive gate (m & m+v) separates lines (support ~ p)
+    # from texture (support ~ p^2) without data-dependent region growing ----
+    import numpy as _np
+
+    best_score = jnp.zeros((h, w), jnp.float32)
+    for _d, (vx, vy) in enumerate(_DIR_VECS):
+        vlen = float(_np.hypot(vx, vy))
+        th = float(_np.mod(_np.arctan2(vy, vx), _np.pi))
+        aligned_d = _angle_diff(line_ang, th) < cfg.line_angle_tol
+        cont = (weak & aligned_d).astype(jnp.bfloat16)
+        # lateral 1 px dilation (rounded unit normal): tolerates the
+        # anti-aliased ridge wandering off the direction lattice
+        nx = int(_np.round(-vy / vlen))
+        ny = int(_np.round(vx / vlen))
+        contd = jnp.maximum(
+            cont, jnp.maximum(_shift(cont, nx, ny), _shift(cont, -nx, -ny))
+        )
+        pair = contd * _shift(contd, vx, vy)
+        sup = _support_sum(pair, vx, vy) + _support_sum(pair, -vx, -vy)
+        support_px = sup.astype(jnp.float32) * vlen
+        score_d = jnp.where(
+            is_peak & aligned_d & (support_px >= 0.75 * cfg.line_min_length),
+            support_px * magf,
+            0.0,
+        )
+        best_score = jnp.maximum(best_score, score_d)
+
+    # spatially-spread candidates (per-cell cap, reuse the keypoint selector)
+    axy, _aresp, avalid = fast_mod.select_keypoints(
+        best_score, k=K, cell=16, cell_cap=1, threshold=1.0,
+        min_threshold=1.0, border=4,
     )
     ax, ay = axy[:, 0], axy[:, 1]
     # NOTE: never interpolate the angle map directly — it wraps at +-pi.
@@ -178,41 +218,31 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
     a_gx, a_gy = _bilinear([gx, gy], ax, ay)
     a_ang = jnp.arctan2(a_gy, a_gx)
     # line (level-line) direction is perpendicular to the gradient
-    dx = -jnp.sin(a_ang)
-    dy = jnp.cos(a_ang)
+    cx_, cy_ = ax, ay
+    d_ang = jnp.arctan2(jnp.cos(a_ang), -jnp.sin(a_ang))
 
-    # Fully parallel walk: sample the whole +-S px corridor in ONE gather
-    # per iteration, ridge-correct every sample laterally (magnitude
-    # parabola), then REFIT the line (weighted orientation PCA) and
-    # resample. 3 iterations replace a 192-step sequential scan — the
-    # same self-correction, but latency goes from O(steps) kernel
-    # launches to O(1) big gathers (TPU-friendly).
+    # ---- sparse refinement for the K winners only: 3-tap lateral
+    # parabola snap + weighted PCA refit + contiguity cumprod ----
     step_px = 1.5  # sample spacing: covers S*step_px pixels each direction
     ts = jnp.concatenate(
         [-jnp.arange(S, 0, -1, dtype=jnp.float32), jnp.arange(1, S + 1, dtype=jnp.float32)]
     ) * step_px  # [2S]
-    neg_half = slice(0, S)    # descending toward the anchor
+    neg_half = slice(0, S)
     pos_half = slice(S, 2 * S)
 
-    cx_, cy_ = ax, ay
-    d_ang = jnp.arctan2(dy, dx)
-
-    def one_iter(cx_, cy_, d_ang, _unused):
+    def refine(cx_, cy_, d_ang):
         dxi = jnp.cos(d_ang)
         dyi = jnp.sin(d_ang)
         nxi = -dyi
         nyi = dxi
-        px = cx_[:, None] + dxi[:, None] * ts[None, :]     # [K, 2S]
+        px = cx_[:, None] + dxi[:, None] * ts[None, :]   # [K, 2S]
         py = cy_[:, None] + dyi[:, None] * ts[None, :]
-        # one batched nearest gather: 3 lateral magnitude taps + angle map
-        # (nearest sampling of the angle map has no wrap problem, unlike
-        # interpolation). 4 gathers/iteration total.
-        m3a = _nearest(
+        m3 = _nearest(
             [mag],
-            jnp.stack([px - nxi[:, None], px, px + nxi[:, None], px], axis=0),
-            jnp.stack([py - nyi[:, None], py, py + nyi[:, None], py], axis=0),
-        )[0]
-        m_m, m_0, m_p = m3a[0], m3a[1], m3a[2]
+            jnp.stack([px - nxi[:, None], px, px + nxi[:, None]], axis=0),
+            jnp.stack([py - nyi[:, None], py, py + nyi[:, None]], axis=0),
+        )[0].astype(jnp.float32)
+        m_m, m_0, m_p = m3[0], m3[1], m3[2]
         denom = m_m - 2.0 * m_0 + m_p
         delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (m_m - m_p) / denom, 0.0)
         delta = jnp.clip(delta, -1.5, 1.5)
@@ -228,13 +258,11 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
             & (s_mag > 0.5 * cfg.line_grad_threshold)
             & (qx >= 1) & (qx < w - 2) & (qy >= 1) & (qy < h - 2)
         )
-        # bridge isolated bad samples (noise, crossings): a sample counts if
-        # it is aligned or both its neighbors along the walk are (the
-        # region-density tolerance real LSD gets from region growing)
+        # bridge isolated bad samples (noise, crossings)
         nb_prev = jnp.roll(aligned, 1, axis=1)
         nb_next = jnp.roll(aligned, -1, axis=1)
         aligned = aligned | (nb_prev & nb_next)
-        # contiguous run through the anchor: cumprod outward on each half
+        # contiguous run through the midpoint: cumprod outward on each half
         pos_pref = jnp.cumprod(aligned[:, pos_half].astype(jnp.float32), axis=1)
         neg_pref = jnp.cumprod(
             aligned[:, neg_half][:, ::-1].astype(jnp.float32), axis=1
@@ -244,29 +272,26 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
         wsum = jnp.maximum(jnp.sum(wgt, axis=1), 1e-6)
         mx_ = jnp.sum(wgt * qx, axis=1) / wsum
         my_ = jnp.sum(wgt * qy, axis=1) / wsum
-        # weighted orientation refit (PCA closed form)
         ux = qx - mx_[:, None]
         uy = qy - my_[:, None]
         sxx = jnp.sum(wgt * ux * ux, axis=1)
         syy = jnp.sum(wgt * uy * uy, axis=1)
         sxy = jnp.sum(wgt * ux * uy, axis=1)
         new_ang = 0.5 * jnp.arctan2(2.0 * sxy, sxx - syy)
-        len_p = jnp.sum(pos_pref, axis=1)
-        len_m = jnp.sum(neg_pref, axis=1)
         msum = jnp.sum(wgt, axis=1)
-        return mx_, my_, new_ang, (len_p, len_m, msum, run)
+        nsamp = jnp.sum(run, axis=1)
+        return mx_, my_, new_ang, (ts, run, msum, nsamp)
 
-    for _ in range(2):
-        cx_, cy_, d_ang, stats = one_iter(cx_, cy_, d_ang, None)
+    for _ in range(3):
+        cx_, cy_, d_ang, _ = refine(cx_, cy_, d_ang)
     # final evaluation pass at the refit geometry: t offsets in `run` are
     # relative to the center the samples were taken from, so endpoints must
     # come from a pass whose center is NOT updated afterwards
-    _, _, _, stats = one_iter(cx_, cy_, d_ang, None)
-    len_p, len_m, msum, run = stats
+    _, _, _, (ts_f, run, msum, nsamp) = refine(cx_, cy_, d_ang)
     dxf = jnp.cos(d_ang)
     dyf = jnp.sin(d_ang)
     # endpoints: extreme aligned offsets projected on the refit line
-    t_run = jnp.where(run > 0, ts[None, :], 0.0)
+    t_run = jnp.where(run > 0, ts_f, 0.0)
     t_hi = jnp.max(t_run, axis=1)
     t_lo = jnp.min(t_run, axis=1)
     sx = cx_ + dxf * t_lo
@@ -274,10 +299,60 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
     ex = cx_ + dxf * t_hi
     ey = cy_ + dyf * t_hi
     total_len = t_hi - t_lo
-    mean_mag = msum / jnp.maximum(len_p + len_m, 1.0)
+    mean_mag = msum / jnp.maximum(nsamp, 1.0)
     response = total_len * mean_mag
     ok = avalid & (total_len >= cfg.line_min_length)
-    dx, dy = dxf, dyf
+
+    # ---- merge collinear fragments: the bounded refinement window splits
+    # long lines into overlapping pieces; union the pieces (transitive
+    # closure on a [K, K] link matrix — what LSD's unbounded region growth
+    # gives for free, done as boolean matmuls) ----
+    mxm = 0.5 * (sx + ex)
+    mym = 0.5 * (sy + ey)
+    seg_dir = jnp.arctan2(ey - sy, ex - sx)
+    dxm = jnp.cos(seg_dir)
+    dym = jnp.sin(seg_dir)
+    nxm = -dym
+    nym = dxm
+
+    def _dperp(px_, py_):
+        return jnp.abs(
+            nxm[:, None] * (px_[None, :] - mxm[:, None])
+            + nym[:, None] * (py_[None, :] - mym[:, None])
+        )
+
+    dp = jnp.maximum(_dperp(sx, sy), _dperp(ex, ey))
+    angclose_m = _angle_diff(seg_dir[:, None], seg_dir[None, :]) < 0.1
+
+    def _proj(px_, py_):
+        return dxm[:, None] * (px_[None, :] - mxm[:, None]) + dym[:, None] * (
+            py_[None, :] - mym[:, None]
+        )
+
+    tj_s = _proj(sx, sy)
+    tj_e = _proj(ex, ey)
+    tj_lo = jnp.minimum(tj_s, tj_e)
+    tj_hi = jnp.maximum(tj_s, tj_e)
+    half_len_i = 0.5 * total_len[:, None]
+    gap = jnp.maximum(tj_lo - half_len_i, -half_len_i - tj_hi)
+    link = angclose_m & (dp < 2.5) & (gap < 5.0) & ok[:, None] & ok[None, :]
+    link = link | link.T | jnp.eye(K, dtype=bool)
+    for _ in range(4):  # closure: chains up to 16 hops
+        lf = link.astype(jnp.float32)
+        link = (lf @ lf) > 0.0
+    comp_resp = jnp.where(link & ok[None, :], response[None, :], -1.0)
+    rep = jnp.argmax(comp_resp, axis=1)
+    is_rep = (rep == jnp.arange(K)) & ok
+    memb = link & ok[None, :]
+    t_lo_m = jnp.min(jnp.where(memb, tj_lo, jnp.inf), axis=1)
+    t_hi_m = jnp.max(jnp.where(memb, tj_hi, -jnp.inf), axis=1)
+    sx = jnp.where(is_rep, mxm + dxm * t_lo_m, sx)
+    sy = jnp.where(is_rep, mym + dym * t_lo_m, sy)
+    ex = jnp.where(is_rep, mxm + dxm * t_hi_m, ex)
+    ey = jnp.where(is_rep, mym + dym * t_hi_m, ey)
+    total_len = jnp.where(is_rep, t_hi_m - t_lo_m, total_len)
+    response = jnp.where(is_rep, total_len * mean_mag, response)
+    ok = is_rep
 
     # undirected angle in [-pi/2, pi/2)
     seg_ang = jnp.mod(jnp.arctan2(ey - sy, ex - sx) + jnp.pi / 2, jnp.pi) - jnp.pi / 2

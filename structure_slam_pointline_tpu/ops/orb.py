@@ -64,6 +64,27 @@ def _rotated_tables() -> np.ndarray:
 
 _TABLES = jnp.asarray(_rotated_tables())  # [32, 256, 2, 2]
 
+
+def _diff_matrix() -> np.ndarray:
+    """[N_ROT * N_PAIRS, PATCH^2] float: +1 at tap 0, -1 at tap 1 per pair.
+
+    Turns the per-keypoint descriptor tap gather into one MXU matmul:
+    (patch @ W.T)[pair] = I(p0) - I(p1), so bit = (diff < 0) == (I(p0) < I(p1)).
+    TPU element gathers run on the scalar core (~8 ns/element — the profiled
+    bottleneck); this formulation keeps descriptor extraction on the MXU.
+    """
+    tables = _rotated_tables()  # [32, 256, 2, 2] (dx, dy)
+    lin = (tables[..., 1] + PATCH_RADIUS) * PATCH + (tables[..., 0] + PATCH_RADIUS)
+    w = np.zeros((N_ROT, N_PAIRS, PATCH * PATCH), np.float32)
+    b_idx = np.repeat(np.arange(N_ROT), N_PAIRS)
+    t_idx = np.tile(np.arange(N_PAIRS), N_ROT)
+    np.add.at(w, (b_idx, t_idx, lin[..., 0].reshape(-1)), 1.0)
+    np.add.at(w, (b_idx, t_idx, lin[..., 1].reshape(-1)), -1.0)
+    return w.reshape(N_ROT * N_PAIRS, PATCH * PATCH)
+
+
+_WDIFF_T = jnp.asarray(_diff_matrix().T, jnp.bfloat16)  # [961, 32*256]
+
 # circular mask + coordinate grids for IC_Angle (u_max circle like the reference)
 _yy, _xx = np.mgrid[-PATCH_RADIUS : PATCH_RADIUS + 1, -PATCH_RADIUS : PATCH_RADIUS + 1]
 _CIRC_MASK = jnp.asarray((_yy ** 2 + _xx ** 2 <= PATCH_RADIUS ** 2).astype(np.float32))
@@ -89,32 +110,52 @@ def gather_patches(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(one)(x, y)
 
 
+_MOMENTS = jnp.asarray(
+    np.stack(
+        [
+            (_xx * (_yy ** 2 + _xx ** 2 <= PATCH_RADIUS ** 2)).reshape(-1),
+            (_yy * (_yy ** 2 + _xx ** 2 <= PATCH_RADIUS ** 2)).reshape(-1),
+        ],
+        axis=1,
+    ).astype(np.float32),
+    dtype=jnp.bfloat16,
+)  # [961, 2] masked (x, y) moment weights
+
+
 def ic_angle(patches: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid orientation per patch [K] in radians.
 
     Equivalent to IC_Angle (reference ORBextractor.cc:77-105) but over the
-    full circular disc via masked moment sums.
+    full circular disc, as one moment matmul (f32 accumulation).
     """
-    w = patches * _CIRC_MASK[None]
-    m10 = jnp.sum(w * _XGRID[None], axis=(1, 2))
-    m01 = jnp.sum(w * _YGRID[None], axis=(1, 2))
-    return jnp.arctan2(m01, m10)
+    flat = patches.reshape(patches.shape[0], PATCH * PATCH).astype(jnp.bfloat16)
+    m = jax.lax.dot_general(
+        flat, _MOMENTS, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.arctan2(m[:, 1], m[:, 0])
 
 
 def describe(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
-    """Rotated BRIEF: [K, 31, 31] patches + [K] angles -> packed uint32 [K, 8]."""
+    """Rotated BRIEF: [K, 31, 31] patches + [K] angles -> packed uint32 [K, 8].
+
+    All 32 rotated tap-difference banks are evaluated in one MXU matmul
+    (f32 accumulation, exact for bf16-sourced patch values), then the
+    per-keypoint bank is selected with a one-hot contraction — no gathers.
+    """
     k = patches.shape[0]
     rot_idx = jnp.mod(
         jnp.round(angles / (2.0 * jnp.pi) * N_ROT).astype(jnp.int32), N_ROT
     )
-    offs = _TABLES[rot_idx]  # [K, 256, 2, 2] (dx, dy)
-    px = offs[..., 0] + PATCH_RADIUS  # [K, 256, 2]
-    py = offs[..., 1] + PATCH_RADIUS
-    flat = patches.reshape(k, PATCH * PATCH)
-    lin = py * PATCH + px  # [K, 256, 2]
-    # gather both tap points per pair
-    t = jnp.take_along_axis(flat[:, None, :], lin.reshape(k, 1, -1), axis=2).reshape(k, N_PAIRS, 2)
-    bits = (t[..., 0] < t[..., 1]).astype(jnp.uint32)  # [K, 256]
+    flat = patches.reshape(k, PATCH * PATCH).astype(jnp.bfloat16)
+    diffs = jax.lax.dot_general(
+        flat, _WDIFF_T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(k, N_ROT, N_PAIRS)
+    onehot = (rot_idx[:, None] == jnp.arange(N_ROT)[None, :]).astype(jnp.float32)
+    sel = jnp.einsum("kbt,kb->kt", diffs, onehot)  # [K, 256]
+    # diff = I(p0) - I(p1); bit set iff I(p0) < I(p1), ties -> 0 like t0 < t1
+    bits = (sel < 0).astype(jnp.uint32)
     # pack 256 bits into 8 uint32 words
     b = bits.reshape(k, 8, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
@@ -131,7 +172,7 @@ def unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit)
 def orient_and_describe(img_blur: jnp.ndarray, xy: jnp.ndarray):
     """Full per-level descriptor pass: (angles [K], packed desc uint32 [K, 8])."""
-    patches = gather_patches(img_blur, xy).astype(jnp.float32)
+    patches = gather_patches(img_blur, xy)
     ang = ic_angle(patches)
     desc = describe(patches, ang)
     return ang, desc
