@@ -29,7 +29,11 @@ MAX_NEW_POINTS = 512   # new landmarks per keyframe insertion
 BA_WINDOW = 8          # free keyframes in local BA
 BA_FIXED = 8           # fixed frontier keyframes
 BA_LOCAL_KF = BA_WINDOW + BA_FIXED
-BA_LOCAL_MP = 8192
+# local-landmark capacity: the one-hot segment contraction in local_ba is
+# O(F * BA_LOCAL_MP) HBM traffic per KF per iteration, so this is the BA
+# cost knob. Overflowing landmarks are silently left out of one BA round
+# (graceful: they stay in the map and get picked up by later windows).
+BA_LOCAL_MP = 2048
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))

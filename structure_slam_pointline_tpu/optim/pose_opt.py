@@ -108,7 +108,7 @@ def pose_optimize(
         pt_inf = pt_in.astype(dtype)
         ln_inf = ln_in.astype(dtype)
 
-        def gn_iter(_, state):
+        def gn_iter(state):
             T, lam, _ = state
             p, l, pt_chi2, ln_chi2_ep = edge_pass(T)
             H, g, cost = build_normal_eqs(p, l, pt_chi2, ln_chi2_ep, pt_inf, ln_inf)
@@ -122,19 +122,26 @@ def pose_optimize(
             T = lie.se3_exp(dx) @ T
             return T, lam, cost
 
-        T, _, cost = jax.lax.fori_loop(
-            0, cfg.pose_iters, gn_iter,
-            (T, jnp.asarray(cfg.lm_lambda_init, dtype), jnp.asarray(0.0, dtype)),
-        )
+        # fully unrolled: each iteration's body is a handful of ~us-scale
+        # fused ops, so while-loop boundaries (not FLOPs) dominate — the
+        # profiled pose-LM cost is ~58 us/iteration of pure loop overhead
+        state = (T, jnp.asarray(cfg.lm_lambda_init, dtype), jnp.asarray(0.0, dtype))
+        for _ in range(cfg.pose_iters):
+            state = gn_iter(state)
+        T, _, cost = state
         return T, pt_in, ln_in, cost
 
-    init = (
+    carry = (
         T_init,
         pt_mask,
         ln_mask,
         jnp.asarray(0.0, dtype),
     )
-    T, pt_in, ln_in, cost = jax.lax.fori_loop(0, cfg.pose_rounds, round_body, init)
+    # rounds also unrolled: 4 boundaries/opt x 2 opts/frame of while
+    # overhead is measurable at this op granularity
+    for rnd in range(cfg.pose_rounds):
+        carry = round_body(jnp.asarray(rnd, jnp.int32), carry)
+    T, pt_in, ln_in, cost = carry
 
     # final classification at the optimized pose
     p, l, pt_chi2, ln_chi2_ep = edge_pass(T)
