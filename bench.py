@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-CHUNK = 25
+CHUNK = 50  # keep equal to SLAMSystem.SCAN_CHUNK so no remainder frames
 
 
 def main():
@@ -33,7 +33,7 @@ def main():
     cam = CameraConfig(fy=480.0)
     cfg = SLAMConfig(camera=cam)
     scene = synthetic.make_room_scene(n_points=350, n_lines=20, seed=0)
-    n_frames = 2 + 3 * CHUNK
+    n_frames = 10 + 3 * CHUNK  # init can take up to ~10 frames of parallax
     poses = synthetic.circular_trajectory(n_frames, radius=0.5)
     imgs = synthetic.render_sequence(scene, poses, cam, noise=2.0)
 

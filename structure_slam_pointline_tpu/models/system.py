@@ -108,7 +108,9 @@ class SLAMSystem:
             T = self._track_device(img, frame_id)
         return T
 
-    SCAN_CHUNK = 25  # fixed scan length => exactly one compiled scan program
+    SCAN_CHUNK = 50  # fixed scan length => exactly one compiled scan program
+    # (50 amortizes the ~100 ms/chunk of tunnel RTT + dispatch overhead;
+    # the scan body compiles once regardless of trip count)
 
     def track_sequence(self, imgs: np.ndarray, first_frame_id: int):
         """Batch mode: stream a [N, H, W] sequence through lax.scan in
@@ -148,8 +150,9 @@ class SLAMSystem:
         for k in range(len(ok)):
             self.state = TrackingState.OK if ok[k] else TrackingState.LOST
             self._log(first_frame_id + k, T[k] if ok[k] else None, int(n_inl[k]), bool(is_kf[k]))
-        self.cur.n_kf = int(self.carry.n_kf)
-        self.cur.n_mp = int(self.carry.n_mp)
+        n_kf, n_mp = jax.device_get((self.carry.n_kf, self.carry.n_mp))  # one RTT
+        self.cur.n_kf = int(n_kf)
+        self.cur.n_mp = int(n_mp)
         self.last_T = T[-1]
         return T, ok, n_inl, is_kf
 
