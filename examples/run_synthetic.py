@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--out-dir", default="out_synthetic")
     ap.add_argument("--scan", action="store_true", help="use lax.scan batch mode")
+    ap.add_argument("--localize", type=int, default=0, metavar="N",
+                    help="after mapping, re-track the last N frames in "
+                         "localization-only mode (frozen map)")
     args = ap.parse_args()
 
     from structure_slam_pointline_tpu.config import CameraConfig, SLAMConfig
@@ -63,8 +66,23 @@ def main():
     print(f"tracked {len(ids)}/{args.frames} | ATE RMSE (Sim3) {ate:.4f} | "
           f"{args.frames / wall:.1f} fps | KFs {slam.cur.n_kf} points {slam.cur.n_mp}")
 
+    if args.localize > 0:
+        n_loc = min(args.localize, args.frames)
+        slam.activate_localization_mode()
+        kf_before = slam.cur.n_kf
+        ok_loc = 0
+        for j in range(args.frames - n_loc, args.frames):
+            if slam.track(imgs[j], j) is not None:
+                ok_loc += 1
+        slam.sync_cursors()
+        print(f"localization-only re-track: {ok_loc}/{n_loc} frames, "
+              f"KFs {kf_before} -> {slam.cur.n_kf} (map frozen)")
+        slam.deactivate_localization_mode()
+
+    slam.shutdown()
     os.makedirs(args.out_dir, exist_ok=True)
     slam.save_trajectory_tum(os.path.join(args.out_dir, "MonoTrajectory.txt"))
+    slam.save_keyframe_trajectory_tum(os.path.join(args.out_dir, "KeyFrameTrajectory.txt"))
     viewer.draw_map(slam.map, slam.cur.n_kf, os.path.join(args.out_dir, "map.png"),
                     trajectory=est_wc, gt_trajectory=poses[ids])
     print(f"outputs in {args.out_dir}/")

@@ -157,11 +157,16 @@ class LoopCloser:
         mp_c = np.asarray(state.kf_kp_mp[cand])
         has_k = mp_k >= 0
         has_c = mp_c >= 0
-        # BoW-gated matching between landmark-bound features
+        # BoW-gated matching between landmark-bound features. Gate at a
+        # coarse tree level (the DBoW2 FeatureVector level-L-4 analog,
+        # ORBmatcher::SearchByBoW, ORBmatcher.cc:525) — leaf-word equality
+        # starves the matcher.
+        coarse = self.voc.branching ** max(self.voc.depth - 2, 1)
         D = np.asarray(hamming.hamming_matrix(state.kf_desc[k], state.kf_desc[cand]))
         allow = (
             has_k[:, None] & has_c[None, :]
-            & (words_k[:, None] == words_c[None, :]) & (words_k[:, None] >= 0)
+            & ((words_k // coarse)[:, None] == (words_c // coarse)[None, :])
+            & (words_k[:, None] >= 0) & (words_c[None, :] >= 0)
         )
         m = matching.masked_match(
             jnp.asarray(D), jnp.asarray(allow), max_dist=self.cfg.matching.th_low, ratio=0.75

@@ -141,9 +141,11 @@ def _keyframe_pipeline(
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def slam_step(
     carry: SLAMCarry, img: jnp.ndarray, frame_id: jnp.ndarray,
-    intr: Intrinsics, cfg: SLAMConfig,
+    intr: Intrinsics, cfg: SLAMConfig, allow_kf: jnp.ndarray | bool = True,
 ):
-    """One tracked frame, fully on device."""
+    """One tracked frame, fully on device. `allow_kf=False` is
+    localization-only mode: track against the map but never extend it
+    (reference System::ActivateLocalizationMode, System.cc:120-142)."""
     with jax.named_scope("frontend"):
         frame = build_frame_device(img, intr, cfg)
     T_pred = carry.velocity @ carry.T_last
@@ -162,7 +164,10 @@ def slam_step(
     weak = n_inl < (cfg.keyframe.min_tracked_ratio * carry.inliers_at_kf.astype(jnp.float32)).astype(jnp.int32)
     stale = carry.frames_since_kf + 1 >= cfg.keyframe.max_frames
     roomy = carry.n_kf < cfg.map.max_keyframes - 1
-    need_kf = ok & roomy & (n_inl >= cfg.keyframe.min_inliers) & (weak | stale)
+    need_kf = (
+        ok & roomy & (n_inl >= cfg.keyframe.min_inliers) & (weak | stale)
+        & jnp.asarray(allow_kf)
+    )
 
     def do_kf(op):
         state, frame, tr = op
@@ -203,14 +208,14 @@ def slam_step(
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def slam_scan(
     carry: SLAMCarry, imgs: jnp.ndarray, first_frame_id: jnp.ndarray,
-    intr: Intrinsics, cfg: SLAMConfig,
+    intr: Intrinsics, cfg: SLAMConfig, allow_kf: jnp.ndarray | bool = True,
 ):
     """Track a whole [N, H, W] sequence as one XLA program."""
     n = imgs.shape[0]
 
     def body(c, x):
         img, fid = x
-        return slam_step(c, img, fid, intr, cfg)
+        return slam_step(c, img, fid, intr, cfg, allow_kf)
 
     fids = first_frame_id + jnp.arange(n, dtype=jnp.int32)
     return jax.lax.scan(body, carry, (imgs, fids))

@@ -16,10 +16,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from structure_slam_pointline_tpu.config import SLAMConfig
+from structure_slam_pointline_tpu.models import tracking
 from structure_slam_pointline_tpu.models.loop_closing import LoopCloser
 from structure_slam_pointline_tpu.models.tracking import Frame
 from structure_slam_pointline_tpu.ops import bow, hamming, matching, pnp
-from structure_slam_pointline_tpu.optim import pose_opt
 from structure_slam_pointline_tpu.utils.camera import Intrinsics
 from structure_slam_pointline_tpu.world.map_store import MapState
 
@@ -45,7 +45,13 @@ def relocalize(
         return None
     cands = np.argsort(scores)[::-1]
     cands = [int(c) for c in cands if scores[c] >= 0.75 * best][:5]
-    words_f = np.asarray(words_f)
+    # Gate matching at a coarse tree level, not leaf words — the DBoW2
+    # FeatureVector analog (TemplatedVocabulary stores node ids at level
+    # L-4 precisely so SearchByBoW gets enough candidate pairs,
+    # ORBmatcher.cc:159). Leaf-level equality is far too strict.
+    coarse = lc.voc.branching ** max(lc.voc.depth - 2, 1)
+    node_f = np.asarray(words_f) // coarse
+    valid_f = np.asarray(words_f) >= 0
     P = state.mp_valid.shape[0]
 
     for cand in cands:
@@ -53,12 +59,14 @@ def relocalize(
         if words_k is None:
             lc._index_keyframe(state, cand)
             words_k = lc.kf_words[cand]
+        node_k = words_k // coarse
         mp_k = np.asarray(state.kf_kp_mp[cand])
         has_mp = mp_k >= 0
         D = hamming.hamming_matrix(frame.desc, state.kf_desc[cand])
         allow = (
-            jnp.asarray(words_f[:, None] == words_k[None, :])
-            & jnp.asarray(words_f >= 0)[:, None]
+            jnp.asarray((node_f[:, None] == node_k[None, :])
+                        & (words_k >= 0)[None, :])
+            & jnp.asarray(valid_f)[:, None]
             & frame.kp_valid[:, None]
             & jnp.asarray(has_mp)[None, :]
         )
@@ -74,27 +82,24 @@ def relocalize(
         sel = np.nonzero(ok)[0]
         if len(sel) < 6:
             continue
-        sets = np.stack([rng.choice(sel, 6, replace=False) for _ in range(128)])
+        # 256 batched 6-point hypotheses; accept at >= 10 inliers like the
+        # reference's PnPsolver RANSAC parameters (Tracking.cc:2033-2035).
+        sets = np.stack([rng.choice(sel, 6, replace=False) for _ in range(256)])
         res = pnp.ransac_pnp(
             jnp.asarray(pts_w.astype(np.float32)), jnp.asarray(uv),
-            jnp.asarray(ok), jnp.asarray(sets), intr,
+            jnp.asarray(ok), jnp.asarray(sets), intr, min_inliers=10,
         )
         if not bool(res.success):
             continue
-        # refine with the chi2-gated pose LM over the PnP inliers
-        F = frame.xy.shape[0]
-        LF = frame.line2d.shape[0]
-        sigma2 = np.power(cfg.frontend.scale_factor,
-                          2.0 * np.asarray(frame.octave, np.float32))
-        out = pose_opt.pose_optimize(
-            res.T_cw, jnp.asarray(pts_w.astype(np.float32)), jnp.asarray(uv),
-            res.inliers & jnp.asarray(ok), jnp.asarray(sigma2),
-            jnp.zeros((LF, 3)), jnp.zeros((LF, 3)), jnp.zeros((LF, 3)),
-            jnp.zeros(LF, bool), jnp.ones(LF),
-            intr, cfg.optim,
-        )
-        if int(out.n_inliers) >= 2 * cfg.keyframe.min_matches_reloc:
-            return np.asarray(out.T_cw)
+        # projection widening + refinement (reference Tracking.cc:2040-2110:
+        # optimize the PnP pose, then SearchByProjection against the map to
+        # grow the inlier set, then re-optimize). track_step with kf_lo=0 is
+        # exactly that: project the whole map at the PnP pose, window-match,
+        # chi2-gated pose LM, re-project tight, LM again.
+        tr = tracking.track_step(state, frame, res.T_cw,
+                                 jnp.asarray(0, jnp.int32), intr, cfg)
+        if int(tr.n_inliers) >= 2 * cfg.keyframe.min_matches_reloc:
+            return np.asarray(tr.T_cw)
     return None
 
 

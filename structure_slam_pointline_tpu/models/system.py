@@ -74,6 +74,7 @@ class SLAMSystem:
         self._lost_count = 0
         self.carry: Optional[pipeline.SLAMCarry] = None  # device pipeline state
         self._loop_closer = None  # lazy: shared vocabulary + BoW index
+        self.localization_mode = False  # True: track only, never extend the map
 
     # ------------------------------------------------------------------ #
     # frame building
@@ -130,6 +131,7 @@ class SLAMSystem:
             self.carry, outs = pipeline.slam_scan(
                 self.carry, imgs_j[i : i + self.SCAN_CHUNK],
                 jnp.asarray(first_frame_id + i, jnp.int32), self.intr, self.cfg,
+                jnp.asarray(not self.localization_mode),
             )
             outs_all.append(jax.device_get(
                 (outs.T_cw, outs.ok, outs.n_inliers, outs.is_kf)))
@@ -138,7 +140,7 @@ class SLAMSystem:
         for j in range(i, n):
             self.carry, out = pipeline.slam_step(
                 self.carry, imgs_j[j], jnp.asarray(first_frame_id + j, jnp.int32),
-                self.intr, self.cfg,
+                self.intr, self.cfg, jnp.asarray(not self.localization_mode),
             )
             outs_all.append(jax.device_get(
                 (out.T_cw[None], out.ok[None], out.n_inliers[None], out.is_kf[None])))
@@ -277,7 +279,7 @@ class SLAMSystem:
         only the small per-frame output."""
         self.carry, out = pipeline.slam_step(
             self.carry, jnp.asarray(img, jnp.float32), jnp.asarray(frame_id, jnp.int32),
-            self.intr, self.cfg,
+            self.intr, self.cfg, jnp.asarray(not self.localization_mode),
         )
         self.map = self.carry.state
         packed = jax.device_get(pipeline.pack_frame_out(out))  # ONE small D2H
@@ -288,10 +290,74 @@ class SLAMSystem:
         self.state = TrackingState.OK if ok else TrackingState.LOST
         if ok:
             self.last_T = np.asarray(T)
-        self._log(frame_id, np.asarray(T) if ok else None, n_inl, is_kf)
-        if not ok:
+            self._log(frame_id, np.asarray(T), n_inl, is_kf)
+            if is_kf and self.cfg.enable_loop_closing:
+                self._run_loop_closing()
+            return np.asarray(T)
+        # ---- lost (reference Tracking.cc:217, 291-299) ----
+        self.sync_cursors()
+        if self.cur.n_kf <= 5:
+            # lost right after initialization -> start over
+            self._log(frame_id, None, n_inl, False)
+            self.reset()
             return None
+        T_rel = self._attempt_relocalization(img, frame_id)
+        self._log(frame_id, T_rel, n_inl, False)
+        return T_rel
+
+    def _attempt_relocalization(self, img, frame_id) -> Optional[np.ndarray]:
+        """BoW + PnP recovery when tracking is lost (reference
+        Tracking::Relocalization, Tracking.cc:1961-2121). On success the
+        device pipeline restarts from the recovered pose with zero
+        velocity."""
+        from structure_slam_pointline_tpu.models import relocalization
+
+        frame = self.build_frame(img)
+        T = relocalization.relocalize(
+            self.map, self.cur.n_kf, frame, self._get_loop_closer(),
+            self.intr, self.cfg, self.init_rng,
+        )
+        if T is None:
+            return None
+        self.carry = self.carry._replace(
+            T_last=jnp.asarray(T, jnp.float32),
+            velocity=jnp.eye(4, dtype=jnp.float32),
+            ok=jnp.asarray(True),
+        )
+        self.last_T = np.asarray(T)
+        self.state = TrackingState.OK
         return np.asarray(T)
+
+    def _get_loop_closer(self):
+        if self._loop_closer is None:
+            from structure_slam_pointline_tpu.models.loop_closing import LoopCloser
+
+            self._loop_closer = LoopCloser(self.cfg, self.intr, seed=self.cfg.seed)
+        return self._loop_closer
+
+    def _run_loop_closing(self) -> None:
+        """Detect + verify + correct a loop at the newest keyframe
+        (reference LoopClosing::Run, LoopClosing.cc:57-89; thread disabled
+        by default exactly like the reference, System.cc:98 /
+        cfg.enable_loop_closing)."""
+        lc = self._get_loop_closer()
+        self.sync_cursors()
+        k = self.cur.n_kf - 1
+        lc.add_keyframe(self.map, k)
+        for cand in lc.detect(self.map, self.cur.n_kf, k):
+            ver = lc.verify(self.map, k, cand.kf_id)
+            if ver is None:
+                continue
+            S, _n = ver
+            new_state = lc.correct(self.map, self.cur.n_kf, k, cand.kf_id, S)
+            self.map = new_state
+            self.carry = self.carry._replace(
+                state=new_state,
+                T_last=jnp.asarray(new_state.kf_T_cw[k]),
+                velocity=jnp.eye(4, dtype=jnp.float32),
+            )
+            self.last_T = np.asarray(new_state.kf_T_cw[k])
+            break
 
     def _run_local_ba(self) -> None:
         from structure_slam_pointline_tpu.optim import local_ba as lba
@@ -306,6 +372,43 @@ class SLAMSystem:
     def _log(self, frame_id, T, n_inl, is_kf):
         self.log.append(FrameLog(frame_id, T, n_inl, is_kf, self.state))
 
+    # ------------------------------------------------------------------ #
+    # mode switches / lifecycle (reference System.cc:120-204)
+    # ------------------------------------------------------------------ #
+    def activate_localization_mode(self) -> None:
+        """Tracking-only: the map is frozen, no keyframes are inserted
+        (reference System::ActivateLocalizationMode, System.cc:124-131)."""
+        self.localization_mode = True
+
+    def deactivate_localization_mode(self) -> None:
+        """Resume full SLAM (reference System.cc:133-142)."""
+        self.localization_mode = False
+
+    def reset(self) -> None:
+        """Clear the map and return to the uninitialized state
+        (reference System::Reset -> Tracking::Reset, Tracking.cc:2123-2165).
+        The frame log is kept so saved trajectories still contain the
+        pre-reset segment, like the reference's relative-pose log."""
+        self.map = map_store.init_map(self.cfg)
+        self.cur = map_store.MapCursors()
+        self.state = TrackingState.NO_IMAGES_YET
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.last_T = np.eye(4, dtype=np.float32)
+        self.frames_since_kf = 0
+        self.inliers_at_kf = 0
+        self.ref_frame = None
+        self.ref_frame_id = -1
+        self.carry = None
+        self._lost_count = 0
+
+    def shutdown(self) -> None:
+        """Flush device work; mirrors System::Shutdown (System.cc:185-204).
+        There are no threads to join — the pipeline is synchronous jitted
+        steps — so this just syncs cursors and blocks on outstanding work."""
+        if self.carry is not None:
+            jax.block_until_ready(self.carry.n_kf)
+            self.sync_cursors()
+
     def sync_cursors(self) -> None:
         """Pull allocation cursors from the device carry (one small D2H)."""
         if self.carry is not None:
@@ -315,6 +418,27 @@ class SLAMSystem:
     def trajectory(self) -> dict:
         """frame_id -> T_cw for all tracked frames."""
         return {e.frame_id: e.T_cw for e in self.log if e.T_cw is not None}
+
+    def save_keyframe_trajectory_tum(self, path: str, timestamps=None) -> None:
+        """TUM format, keyframe poses only
+        (reference System::SaveKeyFrameTrajectoryTUM, System.cc:266-332)."""
+        self.sync_cursors()
+        T_cw, fids, valid = jax.device_get(
+            (self.map.kf_T_cw, self.map.kf_frame_id, self.map.kf_valid)
+        )
+        with open(path, "w") as f:
+            for k in range(self.cur.n_kf):
+                if not valid[k]:
+                    continue
+                T_wc = np.linalg.inv(T_cw[k])
+                t = T_wc[:3, 3]
+                q = _rot_to_quat(T_wc[:3, :3])
+                fid = int(fids[k])
+                ts = timestamps[fid] if timestamps is not None else float(fid)
+                f.write(
+                    f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
 
     def save_trajectory_tum(self, path: str, timestamps=None) -> None:
         """TUM format: `t tx ty tz qx qy qz qw` of T_wc

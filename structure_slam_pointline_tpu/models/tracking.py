@@ -99,8 +99,13 @@ def _match_points(
     uv, z = cam_utils.project(intr, p_cam)
     in_img = cam_utils.in_image(cfg.camera, uv, margin=4.0) & (z > 0.1)
     dist = jnp.linalg.norm(p_cam, axis=-1)
-    band_ok = (dist >= state.mp_dist_min[safe_ids] * 0.8) & (
-        dist <= state.mp_dist_max[safe_ids] * 1.2
+    # scale-invariance band; points with no band info (dist_max still at its
+    # init sentinel or zero) pass, like the normal check below (reference
+    # Frame::isInFrustum gates only on data the landmark actually carries)
+    dist_max = state.mp_dist_max[safe_ids]
+    no_band = (dist_max <= 0.0) | (dist_max >= 1e8)
+    band_ok = no_band | (
+        (dist >= state.mp_dist_min[safe_ids] * 0.8) & (dist <= dist_max * 1.2)
     )
     # viewing angle: normal . ray > 0.5 (reference Frame::isInFrustum)
     ray = xyz - (-T_cw[:3, :3].T @ T_cw[:3, 3])
@@ -111,7 +116,8 @@ def _match_points(
     visible = ids_ok & in_img & band_ok & view_ok
 
     pred_oct = matching.predict_octave(
-        dist, state.mp_dist_max[safe_ids], cfg.frontend.scale_factor, cfg.frontend.n_levels
+        dist, jnp.where(no_band, dist, dist_max),
+        cfg.frontend.scale_factor, cfg.frontend.n_levels,
     )
     radius = radius_scale * jnp.power(cfg.frontend.scale_factor, pred_oct.astype(jnp.float32))
     D = hamming.hamming_matrix(state.mp_desc[safe_ids], frame.desc)

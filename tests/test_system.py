@@ -1,0 +1,92 @@
+"""System facade: end-to-end tracking + mode switches + lifecycle.
+
+Covers the reference System API surface (System.cc:120-332): tracking,
+localization mode (ActivateLocalizationMode), Reset, Shutdown, and both
+TUM trajectory writers.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from structure_slam_pointline_tpu.config import CameraConfig, SLAMConfig
+from structure_slam_pointline_tpu.io import synthetic
+from structure_slam_pointline_tpu.models.system import SLAMSystem, TrackingState
+
+
+@pytest.fixture(scope="module")
+def tracked_system():
+    cam = CameraConfig(fy=480.0)
+    cfg = SLAMConfig(camera=cam)
+    scene = synthetic.make_room_scene(n_points=300, n_lines=12, seed=3)
+    poses = synthetic.circular_trajectory(26, radius=0.5)
+    imgs = synthetic.render_sequence(scene, poses, cam, noise=2.0)
+    slam = SLAMSystem(cfg)
+    i = 0
+    while slam.carry is None and i < 10:
+        slam.track(imgs[i], i)
+        i += 1
+    assert slam.carry is not None, "two-view init failed"
+    for j in range(i, 18):
+        slam.track(imgs[j], j)
+    return slam, imgs, poses
+
+
+class TestSystem:
+    def test_tracks_and_builds_map(self, tracked_system):
+        slam, imgs, poses = tracked_system
+        slam.sync_cursors()
+        assert slam.state == TrackingState.OK
+        assert slam.cur.n_kf >= 2
+        assert slam.cur.n_mp > 50
+        assert len(slam.trajectory()) >= 10
+
+    def test_localization_mode_freezes_map(self, tracked_system):
+        slam, imgs, poses = tracked_system
+        slam.sync_cursors()
+        kf_before, mp_before = slam.cur.n_kf, slam.cur.n_mp
+        slam.activate_localization_mode()
+        for j in range(18, 23):
+            T = slam.track(imgs[j], j)
+            assert T is not None
+        slam.sync_cursors()
+        assert slam.cur.n_kf == kf_before
+        assert slam.cur.n_mp == mp_before
+        slam.deactivate_localization_mode()
+        assert not slam.localization_mode
+
+    def test_trajectory_writers(self, tracked_system, tmp_path):
+        slam, imgs, poses = tracked_system
+        p1 = str(tmp_path / "mono.txt")
+        p2 = str(tmp_path / "kf.txt")
+        slam.save_trajectory_tum(p1)
+        slam.save_keyframe_trajectory_tum(p2)
+        rows = np.loadtxt(p1)
+        kf_rows = np.loadtxt(p2)
+        assert rows.shape[1] == 8 and len(rows) >= 10
+        if kf_rows.ndim == 1:
+            kf_rows = kf_rows[None]
+        assert kf_rows.shape[1] == 8 and len(kf_rows) == slam.cur.n_kf
+        # quaternions normalized
+        np.testing.assert_allclose(
+            np.linalg.norm(rows[:, 4:], axis=1), 1.0, atol=1e-5
+        )
+
+    def test_shutdown_and_reset(self, tracked_system):
+        slam, imgs, poses = tracked_system
+        slam.shutdown()  # must not raise; cursors synced
+        assert slam.cur.n_kf >= 2
+        slam.reset()
+        assert slam.state == TrackingState.NO_IMAGES_YET
+        assert slam.carry is None
+        assert slam.cur.n_kf == 0
+        # log survives reset (pre-reset trajectory still saveable)
+        assert len(slam.trajectory()) >= 10
+        # system re-initializes after reset
+        i = 0
+        while slam.carry is None and i < 10:
+            slam.track(imgs[i], i)
+            i += 1
+        assert slam.carry is not None
