@@ -57,6 +57,14 @@ class FrontendConfig:
     n_lines: int = 64                # line budget (ref keeps top-40, ExtractLineSegment.cpp:42-51)
     line_anchor_count: int = 256     # refinement candidates from the dense support pass
     line_walk_steps: int = 48        # refinement corridor samples each side (2 px spacing)
+    line_refine_iters: int = 2       # refit passes before the final eval pass
+                                     # (corridor gathers are the detector's top
+                                     # device cost; below 2 refits long shallow
+                                     # segments lose endpoint reach)
+    line_support_downsample: int = 1  # dense anchor search at 1/ds resolution
+                                      # (refinement always runs full-res); measured
+                                      # SLOWER at 2 on TPU v5e: strided 2x2 box
+                                      # slicing costs more than the support saves
     line_grad_threshold: float = 10.0
     line_angle_tol: float = 0.3926990816987  # 22.5 deg orientation alignment tolerance
     line_min_length: float = 24.0    # min segment length in px

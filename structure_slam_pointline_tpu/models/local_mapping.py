@@ -472,6 +472,78 @@ def fuse_duplicate_points(state: MapState, k_new: jnp.ndarray, n_kf: jnp.ndarray
     return state._replace(mp_valid=mp_valid, kf_kp_mp=kf_kp_mp)
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def fuse_duplicate_lines(state: MapState, k_new: jnp.ndarray, n_kf: jnp.ndarray,
+                         intr: Intrinsics, cfg: SLAMConfig) -> MapState:
+    """Map-line fusion, the line half of SearchInNeighbors (reference
+    LocalMapping.cc:1178-1279 fuses points AND lines; LSDmatcher::Fuse,
+    LSDmatcher.cpp:417-549). Duplicates in landmark space: a recent line
+    whose endpoints both lie near an older line's infinite 3D line, with
+    parallel direction, longitudinal overlap, and a close LBD descriptor,
+    merges into the older id; all keyframe edge bindings are redirected."""
+    L = state.ml_valid.shape[0]
+    RECENT = 128
+    recent_mask = state.ml_valid & (state.ml_first_kf >= jnp.maximum(n_kf - 2, 0))
+    idx = jnp.nonzero(recent_mask, size=RECENT, fill_value=-1)[0]
+    ok = idx >= 0
+    safe = jnp.clip(idx, 0, L - 1)
+
+    s_r = state.ml_endpoints[safe, :3]                  # [R, 3]
+    e_r = state.ml_endpoints[safe, 3:]
+    s_o = state.ml_endpoints[:, :3]                     # [L, 3]
+    e_o = state.ml_endpoints[:, 3:]
+    d_o = e_o - s_o
+    len_o = jnp.maximum(jnp.linalg.norm(d_o, axis=-1), 1e-9)
+    u_o = d_o / len_o[:, None]
+    d_r = e_r - s_r
+    len_r = jnp.maximum(jnp.linalg.norm(d_r, axis=-1), 1e-9)
+    u_r = d_r / len_r[:, None]
+
+    # parallel direction (undirected)
+    cos_ru = jnp.abs(u_r @ u_o.T)                       # [R, L]
+    # perpendicular distance of both recent endpoints to the older line
+    def _perp(p_r):
+        rel = p_r[:, None, :] - s_o[None, :, :]         # [R, L, 3]
+        t = jnp.einsum("rlk,lk->rl", rel, u_o)
+        foot = rel - t[..., None] * u_o[None, :, :]
+        return jnp.linalg.norm(foot, axis=-1), t
+
+    dist_s, t_s = _perp(s_r)
+    dist_e, t_e = _perp(e_r)
+    # longitudinal overlap with the older segment's [0, len] extent
+    t_lo = jnp.minimum(t_s, t_e)
+    t_hi = jnp.maximum(t_s, t_e)
+    overlap = jnp.minimum(t_hi, len_o[None, :]) - jnp.maximum(t_lo, 0.0)
+
+    scale = jnp.maximum(jnp.linalg.norm(0.5 * (s_r + e_r), axis=-1), 1.0)
+    tol = 0.02 * scale                                  # 2% of distance
+    older = state.ml_valid[None, :] & (
+        state.ml_first_kf[None, :] < state.ml_first_kf[safe][:, None]
+    )
+    from structure_slam_pointline_tpu.ops import hamming as _h
+
+    dd = _h.hamming_matrix(state.ml_desc[safe], state.ml_desc)
+    cand = (
+        older
+        & (cos_ru > 0.996)                              # < ~5 deg
+        & (dist_s < tol[:, None]) & (dist_e < tol[:, None])
+        & (overlap > 0.25 * len_r[:, None])
+        & (dd <= cfg.matching.th_high)
+    )
+    best = jnp.argmin(jnp.where(cand, dd, 1 << 20), axis=1)
+    has = jnp.any(cand, axis=1) & ok
+    redirect = jnp.arange(L, dtype=jnp.int32)
+    redirect = redirect.at[jnp.where(has, safe, L)].set(
+        best.astype(jnp.int32), mode="drop"
+    )
+    ml_valid = state.ml_valid.at[jnp.where(has, safe, L)].set(False, mode="drop")
+    ml_safe_tbl = jnp.clip(state.kf_line_ml, 0, L - 1)
+    kf_line_ml = jnp.where(
+        state.kf_line_ml >= 0, redirect[ml_safe_tbl], state.kf_line_ml
+    )
+    return state._replace(ml_valid=ml_valid, kf_line_ml=kf_line_ml)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def apply_ba_result(
     state: MapState,

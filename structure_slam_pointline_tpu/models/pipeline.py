@@ -126,6 +126,8 @@ def _keyframe_pipeline(
         outl = lm.create_new_lines(st, k, jnp.maximum(k - 1, 0), n_ml, intr, cfg)
         st, n_ml = outl.state, n_ml + outl.n_new
     st = lm.fuse_duplicate_points(st, k, k + 1, intr, cfg)
+    if cfg.use_lines:
+        st = lm.fuse_duplicate_lines(st, k, k + 1, intr, cfg)
     prob, local_kf, local_mp = _gather_ba_problem_device(st, k + 1, cfg)
     ba = local_ba.bundle_adjust(prob, intr, cfg.optim)
     st = lm.apply_ba_result(st, local_kf, local_mp, ba)

@@ -121,7 +121,9 @@ _DIR_VECS = (
     (2, 0), (4, 1), (2, 1), (4, 3), (2, 2), (3, 4), (2, 4), (1, 4),
     (0, 2), (-1, 4), (-2, 4), (-3, 4), (-2, 2), (-4, 3), (-2, 1), (-4, 1),
 )
-_N_DOUBLINGS = 5  # support window = 2^5 steps each way (>= 64 px at |v| >= 2)
+_N_DOUBLINGS = 4  # support window = 2^4 steps each way (>= 32 px at |v| >= 2;
+                  # the support gate needs only 0.75*line_min_length = 18 px,
+                  # and ranking among longer lines saturates anyway)
 
 
 def _shift(m: jnp.ndarray, dx: int, dy: int, fill=0.0) -> jnp.ndarray:
@@ -160,23 +162,49 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
     # (magnitude taps stay bf16)
     gang = jnp.arctan2(gy.astype(jnp.float32), gx.astype(jnp.float32))
     magf = mag.astype(jnp.float32)
+
+    # The dense anchor search runs at 1/ds resolution (2x2 box pyramid
+    # level): the 16-direction support pass is the detector's whole-image
+    # cost and scales with pixel count, while anchors only need to land
+    # within the +-1.5 px lateral snap of the full-res refinement below.
+    # ds=1 disables. (Reference LSD also detects on a downscaled image:
+    # LSDDetector scale 1.2, ExtractLineSegment.cpp:39-40.)
+    ds = cfg.line_support_downsample
+    if ds == 2:
+        hs, ws = h // 2, w // 2
+        img_s = 0.25 * (
+            img[0 : 2 * hs : 2, 0 : 2 * ws : 2]
+            + img[1 : 2 * hs : 2, 0 : 2 * ws : 2]
+            + img[0 : 2 * hs : 2, 1 : 2 * ws : 2]
+            + img[1 : 2 * hs : 2, 1 : 2 * ws : 2]
+        )
+        sgx, sgy, smag = gradients(img_s)
+        sgang = jnp.arctan2(sgy.astype(jnp.float32), sgx.astype(jnp.float32))
+        smagf = smag.astype(jnp.float32)
+        # box filtering softens the 1-2 px ridge contrast
+        grad_thresh = 0.75 * cfg.line_grad_threshold
+    else:
+        hs, ws = h, w
+        smag, sgang, smagf = mag, gang, magf
+        grad_thresh = cfg.line_grad_threshold
+
     # directional NMS across the edge, with the gradient direction
     # quantized to 4 bins so the neighbor taps are whole-image rolls
     grad_bin = jnp.mod(
-        jnp.round(jnp.mod(gang, jnp.pi) / (jnp.pi / 4.0)).astype(jnp.int32), 4
+        jnp.round(jnp.mod(sgang, jnp.pi) / (jnp.pi / 4.0)).astype(jnp.int32), 4
     )
     nbr_dirs = [(1, 0), (1, 1), (0, 1), (-1, 1)]
-    m_plus = jnp.zeros_like(mag)
-    m_minus = jnp.zeros_like(mag)
+    m_plus = jnp.zeros_like(smag)
+    m_minus = jnp.zeros_like(smag)
     for b, (bdx, bdy) in enumerate(nbr_dirs):
-        mp = jnp.roll(mag, (-bdy, -bdx), axis=(0, 1))
-        mm = jnp.roll(mag, (bdy, bdx), axis=(0, 1))
+        mp = jnp.roll(smag, (-bdy, -bdx), axis=(0, 1))
+        mm = jnp.roll(smag, (bdy, bdx), axis=(0, 1))
         sel = grad_bin == b
         m_plus = jnp.where(sel, mp, m_plus)
         m_minus = jnp.where(sel, mm, m_minus)
-    is_peak = (mag >= m_plus) & (mag >= m_minus) & (mag > cfg.line_grad_threshold)
-    line_ang = jnp.mod(gang + jnp.pi / 2.0, jnp.pi)  # level-line dir, [0, pi)
-    weak = mag > 0.5 * cfg.line_grad_threshold
+    is_peak = (smag >= m_plus) & (smag >= m_minus) & (smag > grad_thresh)
+    line_ang = jnp.mod(sgang + jnp.pi / 2.0, jnp.pi)  # level-line dir, [0, pi)
+    weak = smag > 0.5 * grad_thresh
 
     # ---- dense support pass: gap-tolerant aligned support through every
     # pixel, per quantized direction, via log-doubling sums (no gathers).
@@ -184,7 +212,7 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
     # from texture (support ~ p^2) without data-dependent region growing ----
     import numpy as _np
 
-    best_score = jnp.zeros((h, w), jnp.float32)
+    best_score = jnp.zeros((hs, ws), jnp.float32)
     for _d, (vx, vy) in enumerate(_DIR_VECS):
         vlen = float(_np.hypot(vx, vy))
         th = float(_np.mod(_np.arctan2(vy, vx), _np.pi))
@@ -199,20 +227,23 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
         )
         pair = contd * _shift(contd, vx, vy)
         sup = _support_sum(pair, vx, vy) + _support_sum(pair, -vx, -vy)
-        support_px = sup.astype(jnp.float32) * vlen
+        support_px = sup.astype(jnp.float32) * (vlen * ds)   # full-res px
         score_d = jnp.where(
             is_peak & aligned_d & (support_px >= 0.75 * cfg.line_min_length),
-            support_px * magf,
+            support_px * smagf,
             0.0,
         )
         best_score = jnp.maximum(best_score, score_d)
 
-    # spatially-spread candidates (per-cell cap, reuse the keypoint selector)
+    # spatially-spread candidates (per-cell cap, reuse the keypoint selector);
+    # cell/border shrink with ds so spatial density is resolution-invariant
     axy, _aresp, avalid = fast_mod.select_keypoints(
-        best_score, k=K, cell=16, cell_cap=1, threshold=1.0,
-        min_threshold=1.0, border=4,
+        best_score, k=K, cell=max(16 // ds, 4), cell_cap=1, threshold=1.0,
+        min_threshold=1.0, border=max(4 // ds, 2),
     )
-    ax, ay = axy[:, 0], axy[:, 1]
+    # anchor coords back to full resolution (half-res pixel centers)
+    ax = axy[:, 0] * ds + 0.5 * (ds - 1)
+    ay = axy[:, 1] * ds + 0.5 * (ds - 1)
     # NOTE: never interpolate the angle map directly — it wraps at +-pi.
     # Sample gx/gy and derive orientation from the interpolated vector.
     a_gx, a_gy = _bilinear([gx, gy], ax, ay)
@@ -282,7 +313,7 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
         nsamp = jnp.sum(run, axis=1)
         return mx_, my_, new_ang, (ts, run, msum, nsamp)
 
-    for _ in range(3):
+    for _ in range(cfg.line_refine_iters):
         cx_, cy_, d_ang, _ = refine(cx_, cy_, d_ang)
     # final evaluation pass at the refit geometry: t offsets in `run` are
     # relative to the center the samples were taken from, so endpoints must
