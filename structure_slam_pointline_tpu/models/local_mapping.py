@@ -23,7 +23,9 @@ from structure_slam_pointline_tpu.ops import hamming, matching, twoview
 from structure_slam_pointline_tpu.optim import local_ba
 from structure_slam_pointline_tpu.models.tracking import Frame
 from structure_slam_pointline_tpu.utils.camera import Intrinsics
-from structure_slam_pointline_tpu.world.map_store import MapState, point_obs_counts
+from structure_slam_pointline_tpu.world.map_store import (
+    DESC_RING, MapState, point_obs_counts,
+)
 
 MAX_NEW_POINTS = 512   # new landmarks per keyframe insertion
 BA_WINDOW = 8          # free keyframes in local BA
@@ -34,6 +36,46 @@ BA_LOCAL_KF = BA_WINDOW + BA_FIXED
 # cost knob. Overflowing landmarks are silently left out of one BA round
 # (graceful: they stay in the map and get picked up by later windows).
 BA_LOCAL_MP = 2048
+
+
+def _distinctive_update(ring, ring_n, lm_ids, new_desc, n_slots):
+    """Push each observation's descriptor into its landmark's ring and
+    return (ring, ring_n, distinctive descriptor per observation).
+
+    The distinctive descriptor is the ring entry with minimum MEDIAN
+    Hamming distance to the others (reference
+    MapPoint::ComputeDistinctiveDescriptors, MapPoint.cc; MapLine mirror,
+    MapLine.cpp) over the last DESC_RING observations.
+
+    lm_ids: [N] landmark id per observation, n_slots (capacity) when unbound.
+    """
+    R = DESC_RING
+    cap = ring.shape[0]
+    safe = jnp.clip(lm_ids, 0, cap - 1)
+    pos = ring_n[safe] % R
+    ring = ring.at[lm_ids, pos].set(new_desc, mode="drop")
+    ring_n = ring_n.at[lm_ids].add(1, mode="drop")
+    rings = ring[safe]                                   # [N, R, 8]
+    n_f = jnp.minimum(ring_n[safe], R)                   # [N]
+    # R x R pairwise distances per landmark: XOR + popcount broadcast
+    # (tiny R — cheaper than batched matmuls)
+    D = hamming.hamming_pairwise(
+        rings[:, :, None, :], rings[:, None, :, :]
+    )                                                    # [N, R, R]
+    filled = jnp.arange(R)[None, :] < n_f[:, None]       # [N, R]
+    BIG = jnp.asarray(1 << 16, D.dtype)
+    Dm = jnp.where(filled[:, None, :], D, BIG)           # mask empty columns
+    Ds = jnp.sort(Dm, axis=-1)                           # valid dists first
+    med_idx = jnp.clip((n_f - 1) // 2, 0, R - 1)
+    med = jnp.take_along_axis(
+        Ds, med_idx[:, None, None].repeat(R, axis=1), axis=-1
+    )[..., 0]                                            # [N, R]
+    med = jnp.where(filled, med, BIG)
+    best_i = jnp.argmin(med, axis=-1)                    # [N]
+    best = jnp.take_along_axis(
+        rings, best_i[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]                                              # [N, 8]
+    return ring, ring_n, best
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -76,11 +118,17 @@ def insert_keyframe(
         kf_line_valid=state.kf_line_valid.at[k].set(frame.line_valid),
         kf_line_ml=state.kf_line_ml.at[k].set(line_ml),
     )
-    # landmark bookkeeping
+    # landmark bookkeeping; the distinctive descriptor refresh keeps the
+    # min-median-Hamming representative over the observation ring
     mp_ids = jnp.where(feat_mp >= 0, feat_mp, P)
+    ring, ring_n, best_desc = _distinctive_update(
+        st.mp_desc_ring, st.mp_ring_n, mp_ids, frame.desc, P
+    )
     st = st._replace(
         mp_last_kf=st.mp_last_kf.at[mp_ids].max(k, mode="drop"),
-        mp_desc=st.mp_desc.at[mp_ids].set(frame.desc, mode="drop"),
+        mp_desc=st.mp_desc.at[mp_ids].set(best_desc, mode="drop"),
+        mp_desc_ring=ring,
+        mp_ring_n=ring_n,
     )
     # viewing normal + scale band from this KF's vantage
     cam_center = -T_cw[:3, :3].T @ T_cw[:3, 3]
@@ -98,9 +146,14 @@ def insert_keyframe(
         mp_dist_min=st.mp_dist_min.at[mp_ids].set(dmin, mode="drop"),
     )
     ml_ids = jnp.where(line_ml >= 0, line_ml, L)
+    lring, lring_n, lbest = _distinctive_update(
+        st.ml_desc_ring, st.ml_ring_n, ml_ids, frame.ldesc, L
+    )
     st = st._replace(
         ml_last_kf=st.ml_last_kf.at[ml_ids].max(k, mode="drop"),
-        ml_desc=st.ml_desc.at[ml_ids].set(frame.ldesc, mode="drop"),
+        ml_desc=st.ml_desc.at[ml_ids].set(lbest, mode="drop"),
+        ml_desc_ring=lring,
+        ml_ring_n=lring_n,
     )
     return st
 
@@ -220,6 +273,10 @@ def create_new_points(
         mp_last_kf=state.mp_last_kf.at[slot].set(k_new.astype(jnp.int32), mode="drop"),
         mp_visible=state.mp_visible.at[slot].set(1, mode="drop"),
         mp_found=state.mp_found.at[slot].set(1, mode="drop"),
+        mp_desc_ring=state.mp_desc_ring.at[slot, 0].set(
+            state.kf_desc[k_new][feat], mode="drop"
+        ),
+        mp_ring_n=state.mp_ring_n.at[slot].set(1, mode="drop"),
     )
     # scale band + normal from the new KF
     dist = jnp.linalg.norm(X[feat] - c1, axis=1)
@@ -359,6 +416,10 @@ def create_new_lines(
         ml_last_kf=state.ml_last_kf.at[slot].set(k_new.astype(jnp.int32), mode="drop"),
         ml_visible=state.ml_visible.at[slot].set(1, mode="drop"),
         ml_found=state.ml_found.at[slot].set(1, mode="drop"),
+        ml_desc_ring=state.ml_desc_ring.at[slot, 0].set(
+            state.kf_ldesc[k_new][feat], mode="drop"
+        ),
+        ml_ring_n=state.ml_ring_n.at[slot].set(1, mode="drop"),
     )
     new_ml_of_line = jnp.full((LF,), -1, jnp.int32).at[feat].set(
         jnp.where(slot < L, slot, L).astype(jnp.int32), mode="drop"

@@ -350,6 +350,15 @@ class SLAMSystem:
                 continue
             S, _n = ver
             new_state = lc.correct(self.map, self.cur.n_kf, k, cand.kf_id, S)
+            # the reference follows CorrectLoop with a detached global-BA
+            # thread (LoopClosing.cc:584 -> RunGlobalBundleAdjustment);
+            # here it runs inline — loop closures are rare and the Schur
+            # solve is one device call
+            from structure_slam_pointline_tpu.optim import global_ba
+
+            new_state = global_ba.global_bundle_adjust(
+                new_state, self.cur.n_kf, self.intr, self.cfg
+            )
             self.map = new_state
             self.carry = self.carry._replace(
                 state=new_state,

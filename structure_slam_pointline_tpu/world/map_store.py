@@ -36,6 +36,12 @@ import jax.numpy as jnp
 
 from structure_slam_pointline_tpu.config import SLAMConfig
 
+# Observation-descriptor ring width per landmark: the distinctive
+# descriptor (min-median Hamming, reference
+# MapPoint::ComputeDistinctiveDescriptors) is computed over the last R
+# observations rather than all of them — O(1) memory, same intent.
+DESC_RING = 4
+
 
 class MapState(NamedTuple):
     # --- keyframes (capacity K) ---
@@ -70,6 +76,8 @@ class MapState(NamedTuple):
     mp_last_kf: jnp.ndarray    # [P] int32 most recent observing KF
     mp_visible: jnp.ndarray    # [P] int32 frustum-visible count
     mp_found: jnp.ndarray      # [P] int32 matched-inlier count
+    mp_desc_ring: jnp.ndarray  # [P, R, 8] recent observation descriptors
+    mp_ring_n: jnp.ndarray     # [P] int32 total observation-descriptor writes
 
     # --- map lines (capacity L) ---
     ml_endpoints: jnp.ndarray  # [L, 6] world (start, end)
@@ -79,6 +87,8 @@ class MapState(NamedTuple):
     ml_last_kf: jnp.ndarray    # [L]
     ml_visible: jnp.ndarray    # [L]
     ml_found: jnp.ndarray      # [L]
+    ml_desc_ring: jnp.ndarray  # [L, R, 8]
+    ml_ring_n: jnp.ndarray     # [L] int32
 
     @property
     def capacity(self):
@@ -133,6 +143,8 @@ def init_map(cfg: SLAMConfig, n_features: int | None = None) -> MapState:
         mp_last_kf=jnp.full((P,), -1, i32),
         mp_visible=jnp.zeros(P, i32),
         mp_found=jnp.zeros(P, i32),
+        mp_desc_ring=jnp.zeros((P, DESC_RING, 8), jnp.uint32),
+        mp_ring_n=jnp.zeros(P, i32),
         ml_endpoints=jnp.zeros((L, 6), f32),
         ml_valid=jnp.zeros(L, bool),
         ml_desc=jnp.zeros((L, 8), jnp.uint32),
@@ -140,6 +152,8 @@ def init_map(cfg: SLAMConfig, n_features: int | None = None) -> MapState:
         ml_last_kf=jnp.full((L,), -1, i32),
         ml_visible=jnp.zeros(L, i32),
         ml_found=jnp.zeros(L, i32),
+        ml_desc_ring=jnp.zeros((L, DESC_RING, 8), jnp.uint32),
+        ml_ring_n=jnp.zeros(L, i32),
     )
 
 
@@ -181,6 +195,6 @@ def covisibility_weights(state: MapState, kf_id: jnp.ndarray) -> jnp.ndarray:
 
 
 __all__ = [
-    "MapState", "MapCursors", "init_map", "point_obs_counts",
+    "MapState", "MapCursors", "DESC_RING", "init_map", "point_obs_counts",
     "line_obs_counts", "covisibility_weights",
 ]

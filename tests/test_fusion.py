@@ -79,3 +79,50 @@ class TestFuseLines:
         )
         out = lm.fuse_duplicate_lines(st, jnp.asarray(3), jnp.asarray(4), INTR, CFG)
         assert bool(out.ml_valid[0]) and bool(out.ml_valid[1])
+
+
+class TestDistinctiveDescriptor:
+    def test_min_median_representative_survives_outlier(self):
+        """Three near-identical observations + one outlier: the
+        distinctive descriptor must be one of the majority, not the
+        latest write (reference MapPoint::ComputeDistinctiveDescriptors)."""
+        import jax
+        from structure_slam_pointline_tpu.models.local_mapping import (
+            _distinctive_update,
+        )
+        from structure_slam_pointline_tpu.world.map_store import DESC_RING
+
+        g = np.random.default_rng(5)
+        base = g.integers(0, 2 ** 32, (8,), dtype=np.uint32)
+        near = base.copy()
+        near[0] ^= np.uint32(1)          # 1 bit away
+        outlier = ~base                  # 256 bits away
+
+        P = 16
+        ring = jnp.zeros((P, DESC_RING, 8), jnp.uint32)
+        ring_n = jnp.zeros(P, jnp.int32)
+        ids = jnp.asarray([3], jnp.int32)
+        for d in (base, near, base):
+            ring, ring_n, best = _distinctive_update(
+                ring, ring_n, ids, jnp.asarray(d[None]), P)
+        # last write is the outlier; median distance should reject it
+        ring, ring_n, best = _distinctive_update(
+            ring, ring_n, ids, jnp.asarray(outlier[None]), P)
+        b = np.asarray(best[0])
+        assert (b == base).all() or (b == near).all()
+        assert not (b == outlier).all()
+
+    def test_unbound_observations_dropped(self):
+        from structure_slam_pointline_tpu.models.local_mapping import (
+            _distinctive_update,
+        )
+        from structure_slam_pointline_tpu.world.map_store import DESC_RING
+
+        P = 8
+        ring = jnp.zeros((P, DESC_RING, 8), jnp.uint32)
+        ring_n = jnp.zeros(P, jnp.int32)
+        ids = jnp.asarray([P], jnp.int32)  # unbound marker
+        d = jnp.ones((1, 8), jnp.uint32)
+        ring2, ring_n2, _ = _distinctive_update(ring, ring_n, ids, d, P)
+        assert int(ring_n2.sum()) == 0
+        assert int(np.asarray(ring2).sum()) == 0
