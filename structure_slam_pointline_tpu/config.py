@@ -154,6 +154,10 @@ class KeyframeConfig:
     max_frames: int = 30             # = fps
     min_tracked_ratio: float = 0.9   # thRefRatio for mono
     min_inliers: int = 30
+    min_inliers_track: int = 15      # below this the wide fallback re-track
+                                     # fires (TrackReferenceKeyFrame's role,
+                                     # Tracking.cc:212; ref fails motion-model
+                                     # tracking under ~10 map inliers)
     min_matches_reloc: int = 15
 
 

