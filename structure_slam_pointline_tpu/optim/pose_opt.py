@@ -8,10 +8,14 @@ between rounds (Optimizer.cc:870-1014) and Huber kernels
 (delta = sqrt(5.991) points / sqrt(7.815) lines, Optimizer.cc:700-701).
 
 Where g2o builds a graph and solves per-edge, here each iteration is one
-fused batched pass: residuals/Jacobians for all edges at once, a 6x6
-normal-equation accumulation (einsum -> MXU), and a closed-form solve.
-The whole 4x10 schedule compiles into a single XLA program with
-`lax.fori_loop`; edge counts are static, validity lives in masks.
+fused batched pass. All per-edge quantities are FLAT [R]-vectors
+(R = 2N point rows + 2M line-endpoint rows) with the 6 Jacobian
+components stacked on the LEADING axis — a [N, 2, 6] Jacobian tensor
+would be padded by the TPU's (8, 128) tiling to ~340x its logical size,
+while [6, R] tiles exactly. The normal equations are one [6, R] x [R]
+weighted Gram product (MXU); the 6x6 solve is closed form. The whole
+4x10 schedule is unrolled into a single XLA program; edge counts are
+static, validity lives in masks.
 """
 
 from __future__ import annotations
@@ -23,7 +27,6 @@ import jax
 import jax.numpy as jnp
 
 from structure_slam_pointline_tpu.config import OptimConfig
-from structure_slam_pointline_tpu.optim import residuals as res
 from structure_slam_pointline_tpu.utils import lie
 from structure_slam_pointline_tpu.utils.camera import Intrinsics
 from structure_slam_pointline_tpu.utils.robust import huber_weight
@@ -40,6 +43,33 @@ class PoseOptResult(NamedTuple):
 def _solve_damped(H: jnp.ndarray, g: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     A = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
     return jnp.linalg.solve(A, g)
+
+
+def _edge_planes(T, X, intr):
+    """Camera-frame projection planes for flat world points X [3, R].
+
+    Same math as residuals.point_residuals (left perturbation
+    T' = exp(xi) T), components kept as separate [R] vectors.
+    """
+    R3 = T[:3, :3]
+    t = T[:3, 3]
+    x = R3[0, 0] * X[0] + R3[0, 1] * X[1] + R3[0, 2] * X[2] + t[0]
+    y = R3[1, 0] * X[0] + R3[1, 1] * X[1] + R3[1, 2] * X[2] + t[1]
+    z = R3[2, 0] * X[0] + R3[2, 1] * X[1] + R3[2, 2] * X[2] + t[2]
+    iz = 1.0 / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = intr.fx * x * iz + intr.cx
+    v = intr.fy * y * iz + intr.cy
+    a = intr.fx * iz
+    c = -intr.fx * x * iz * iz
+    b = intr.fy * iz
+    d = -intr.fy * y * iz * iz
+    # J_uv_pose rows (d proj / d xi, BEFORE the residual-sign flip):
+    # du/dxi = (c*y, a*z - c*x, -a*y, a, 0, c)
+    # dv/dxi = (-b*z + d*y, -d*x, b*x, 0, b, d)
+    zero = jnp.zeros_like(x)
+    Ju = jnp.stack([c * y, a * z - c * x, -a * y, a, zero, c])       # [6, R]
+    Jv = jnp.stack([-b * z + d * y, -d * x, b * x, zero, b, d])      # [6, R]
+    return u, v, z, Ju, Jv
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -66,52 +96,89 @@ def pose_optimize(
     Negative-depth edges are always excluded.
     """
     dtype = T_init.dtype
+    N = pts_w.shape[0]
+    M = line_sw.shape[0]
     pt_info = 1.0 / jnp.maximum(pt_sigma2, 1e-12)
     ln_info = 1.0 / jnp.maximum(ln_sigma2, 1e-12)
 
-    def edge_pass(T):
-        p = res.point_residuals(T, pts_w, obs_uv, intr)
-        l = res.line_residuals(T, line_sw, line_ew, line_obs, intr)
-        pt_chi2 = jnp.sum(p.r * p.r, axis=-1) * pt_info
-        ln_chi2_ep = (l.r * l.r) * ln_info[:, None]   # [M, 2] per endpoint
-        return p, l, pt_chi2, ln_chi2_ep
+    Xp = pts_w.T                                    # [3, N]
+    Xl = jnp.concatenate([line_sw, line_ew]).T      # [3, 2M] (starts, ends)
+    obs_u = obs_uv[:, 0]
+    obs_v = obs_uv[:, 1]
+    l0 = jnp.concatenate([line_obs[:, 0]] * 2)      # [2M]
+    l1 = jnp.concatenate([line_obs[:, 1]] * 2)
+    l2 = jnp.concatenate([line_obs[:, 2]] * 2)
 
-    def build_normal_eqs(p, l, pt_chi2, ln_chi2_ep, pt_in, ln_in):
-        wp = huber_weight(pt_chi2, cfg.huber_delta_point) * pt_info * pt_in
-        # per-endpoint Huber on normalized chi2 (delta from line gate)
-        wl = huber_weight(ln_chi2_ep, cfg.huber_delta_line) * ln_info[:, None] * ln_in[:, None]
-        H = jnp.einsum("n,nik,nil->kl", wp, p.J_pose, p.J_pose)
-        g = -jnp.einsum("n,nik,ni->k", wp, p.J_pose, p.r)
-        H += jnp.einsum("ne,nek,nel->kl", wl, l.J_pose, l.J_pose)
-        g += -jnp.einsum("ne,nek,ne->k", wl, l.J_pose, l.r)
-        cost = jnp.sum(jnp.minimum(pt_chi2, cfg.chi2_mono * 4) * pt_in) + jnp.sum(
-            jnp.minimum(ln_chi2_ep, cfg.chi2_line * 4) * ln_in[:, None]
-        )
+    def edge_pass(T):
+        """Residuals + chi2 for all edges; Jacobians as [6, *] planes.
+
+        Point rows: r = obs - proj (so J = -J_uv). Line endpoint rows:
+        e = l . (u, v, 1) with J = l0*Ju + l1*Jv (lineEdge.h:60-114).
+        """
+        u, v, z, Ju, Jv = _edge_planes(T, Xp, intr)
+        ru = obs_u - u
+        rv = obs_v - v
+        pt_chi2 = (ru * ru + rv * rv) * pt_info
+        lu, lv, lz, lJu, lJv = _edge_planes(T, Xl, intr)
+        e = l0 * lu + l1 * lv + l2                   # [2M]
+        ln_chi2_ep = (e * e) * jnp.concatenate([ln_info] * 2)
+        Jl = l0[None, :] * lJu + l1[None, :] * lJv   # [6, 2M]
+        return dict(ru=ru, rv=rv, z=z, Ju=Ju, Jv=Jv,
+                    e=e, lz=lz, Jl=Jl,
+                    pt_chi2=pt_chi2, ln_chi2_ep=ln_chi2_ep)
+
+    def build_normal_eqs(ep, pt_inf, ln_inf):
+        wp = huber_weight(ep["pt_chi2"], cfg.huber_delta_point) * pt_info * pt_inf
+        wl = (huber_weight(ep["ln_chi2_ep"], cfg.huber_delta_line)
+              * jnp.concatenate([ln_info] * 2) * jnp.concatenate([ln_inf] * 2))
+        # flat row space: [u-rows | v-rows | line-endpoint rows]
+        # (r = obs - proj flips the point-Jacobian sign; it cancels in H
+        # and is folded into g's sign below)
+        J = jnp.concatenate([ep["Ju"], ep["Jv"], ep["Jl"]], axis=1)  # [6, R]
+        w = jnp.concatenate([wp, wp, wl])                            # [R]
+        r = jnp.concatenate([ep["ru"], ep["rv"], ep["e"]])           # [R]
+        Jw = J * w[None, :]
+        H = jax.lax.dot_general(Jw, J, (((1,), (1,)), ((), ())),
+                                preferred_element_type=dtype)        # [6, 6]
+        # point rows: J_r = -J_uv -> g = -sum w J_r r = +Jw r
+        # line rows:  J_r = +Jl  -> g = -Jw e
+        sign = jnp.concatenate([
+            jnp.ones(2 * N, dtype), -jnp.ones(2 * M, dtype)])
+        g = Jw @ (r * sign)
+        cost = (jnp.sum(jnp.minimum(ep["pt_chi2"], cfg.chi2_mono * 4) * pt_inf)
+                + jnp.sum(jnp.minimum(ep["ln_chi2_ep"], cfg.chi2_line * 4)
+                          * jnp.concatenate([ln_inf] * 2)))
         return H, g, cost
+
+    def classify(ep, first):
+        ln_ep_ok = ep["ln_chi2_ep"] <= cfg.chi2_line
+        ln_z_ok = ep["lz"] > 0
+        ln_all_ok = (ln_ep_ok[:M] & ln_ep_ok[M:])
+        ln_depth_ok = ln_z_ok[:M] & ln_z_ok[M:]
+        pt_in = pt_mask & (ep["z"] > 0) & (first | (ep["pt_chi2"] <= cfg.chi2_mono))
+        ln_in = ln_mask & ln_depth_ok & (first | ln_all_ok)
+        return pt_in, ln_in
 
     def round_body(rnd, carry):
         T, pt_in, ln_in, _ = carry
         # classify with current pose; round 0 keeps all edges (the reference
         # only reclassifies after the first 10 iterations)
-        p, l, pt_chi2, ln_chi2_ep = edge_pass(T)
+        ep = edge_pass(T)
         first = rnd == 0
-        pt_in = pt_mask & (p.depth > 0) & (first | (pt_chi2 <= cfg.chi2_mono))
-        ln_in = (
-            ln_mask
-            & jnp.all(l.depth > 0, axis=-1)
-            & (first | jnp.all(ln_chi2_ep <= cfg.chi2_line, axis=-1))
-        )
+        pt_in, ln_in = classify(ep, first)
         # keep a floor: if gating killed nearly everything, fall back to mask
         enough = (jnp.sum(pt_in) + jnp.sum(ln_in)) >= 10
-        pt_in = jnp.where(enough, pt_in, pt_mask & (p.depth > 0))
-        ln_in = jnp.where(enough, ln_in, ln_mask & jnp.all(l.depth > 0, axis=-1))
+        lz_ok = ep["lz"][:M] > 0
+        lz_ok &= ep["lz"][M:] > 0
+        pt_in = jnp.where(enough, pt_in, pt_mask & (ep["z"] > 0))
+        ln_in = jnp.where(enough, ln_in, ln_mask & lz_ok)
         pt_inf = pt_in.astype(dtype)
         ln_inf = ln_in.astype(dtype)
 
         def gn_iter(state):
             T, lam, _ = state
-            p, l, pt_chi2, ln_chi2_ep = edge_pass(T)
-            H, g, cost = build_normal_eqs(p, l, pt_chi2, ln_chi2_ep, pt_inf, ln_inf)
+            ep = edge_pass(T)
+            H, g, cost = build_normal_eqs(ep, pt_inf, ln_inf)
             dx = _solve_damped(H, g, lam)
             # one fused pass per iteration: damped Gauss-Newton with a step
             # clip instead of accept/reject re-evaluation (3x fewer edge
@@ -144,9 +211,8 @@ def pose_optimize(
     T, pt_in, ln_in, cost = carry
 
     # final classification at the optimized pose
-    p, l, pt_chi2, ln_chi2_ep = edge_pass(T)
-    pt_in = pt_mask & (pt_chi2 <= cfg.chi2_mono) & (p.depth > 0)
-    ln_in = ln_mask & jnp.all(ln_chi2_ep <= cfg.chi2_line, axis=-1) & jnp.all(l.depth > 0, axis=-1)
+    ep = edge_pass(T)
+    pt_in, ln_in = classify(ep, jnp.asarray(False))
     n_inl = jnp.sum(pt_in).astype(jnp.int32) + jnp.sum(ln_in).astype(jnp.int32)
     return PoseOptResult(T_cw=T, point_inliers=pt_in, line_inliers=ln_in, n_inliers=n_inl, chi2=cost)
 
