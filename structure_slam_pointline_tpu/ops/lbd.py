@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from structure_slam_pointline_tpu.ops.lsd import _bilinear, gradients
+from structure_slam_pointline_tpu.ops.lsd import _nearest, gradients
 
 N_SAMPLES = 24     # samples along the segment
 N_BANDS = 9        # parallel bands across the segment
@@ -86,7 +86,10 @@ def describe_lines(img: jnp.ndarray, endpoints: jnp.ndarray, valid: jnp.ndarray)
         + (ey - sy)[:, None, None] * ts[None, :, None]
         + ny[:, None, None] * bands[None, None, :]
     )
-    sgx, sgy, si = _bilinear([gx, gy, imgf], px, py)
+    # nearest sampling: 3 flat gathers instead of bilinear's 12 (gathers run
+    # on the scalar core; the <=0.5 px jitter washes out in the 24-sample
+    # band means/stds and both frames of a match sample identically)
+    sgx, sgy, si = _nearest([gx, gy, imgf], px, py)
     sgx = sgx.astype(jnp.float32)
     sgy = sgy.astype(jnp.float32)
     # rotate gradient into the line frame
