@@ -36,7 +36,30 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # programs; caching compilations across processes cuts minutes of startup.
 import os as _os
 
-_cache_dir = _os.environ.get("SSPL_COMPILE_CACHE", "/tmp/sspl_jax_cache")
+# The cache directory is keyed by the host's CPU feature set: XLA:CPU AOT
+# results encode machine features (e.g. avx512 variants), and the persistent
+# cache does NOT include them in its key — loading an executable compiled on
+# a different host warns "could lead to execution errors such as SIGILL" and
+# has been observed to hang at dispatch. TPU executables are unaffected but
+# live in the same per-host directory for simplicity.
+def _host_tag() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
+
+_cache_dir = _os.environ.get(
+    "SSPL_COMPILE_CACHE", f"/tmp/sspl_jax_cache_{_host_tag()}"
+)
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
