@@ -254,36 +254,78 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
     cx_, cy_ = ax, ay
     d_ang = jnp.arctan2(jnp.cos(a_ang), -jnp.sin(a_ang))
 
-    # ---- sparse refinement for the K winners only: 3-tap lateral
-    # parabola snap + weighted PCA refit + contiguity cumprod ----
-    step_px = 1.5  # sample spacing: covers S*step_px pixels each direction
-    ts = jnp.concatenate(
-        [-jnp.arange(S, 0, -1, dtype=jnp.float32), jnp.arange(1, S + 1, dtype=jnp.float32)]
-    ) * step_px  # [2S]
-    neg_half = slice(0, S)
-    pos_half = slice(S, 2 * S)
+    # ---- dense ridge fields for the sparse refinement: the lateral
+    # 3-tap parabola snap is precomputed ONCE for every pixel with
+    # whole-image ops (along the 4-bin quantized gradient direction the
+    # NMS already uses), so each refine pass gathers 3 planes per sample
+    # instead of 4 + a dependent second gather. The snap (bin, offset)
+    # is PACKED into one f32 plane: pack = bin*8 + delta_px + 3. ----
+    if ds == 1:
+        f_plus, f_minus, f_bin = m_plus, m_minus, grad_bin
+    else:
+        f_bin = jnp.mod(
+            jnp.round(jnp.mod(gang, jnp.pi) / (jnp.pi / 4.0)).astype(jnp.int32), 4
+        )
+        f_plus = jnp.zeros_like(mag)
+        f_minus = jnp.zeros_like(mag)
+        for b, (bdx, bdy) in enumerate(nbr_dirs):
+            mp_ = jnp.roll(mag, (-bdy, -bdx), axis=(0, 1))
+            mm_ = jnp.roll(mag, (bdy, bdx), axis=(0, 1))
+            sel = f_bin == b
+            f_plus = jnp.where(sel, mp_, f_plus)
+            f_minus = jnp.where(sel, mm_, f_minus)
+    fp32 = f_plus.astype(jnp.float32)
+    fm32 = f_minus.astype(jnp.float32)
+    f032 = (smag if ds == 1 else mag).astype(jnp.float32)
+    den_d = fm32 - 2.0 * f032 + fp32
+    binlen = jnp.where((f_bin == 1) | (f_bin == 3), jnp.sqrt(2.0), 1.0)
+    delta_d = jnp.where(jnp.abs(den_d) > 1e-6, 0.5 * (fm32 - fp32) / den_d, 0.0)
+    delta_d = jnp.clip(delta_d * binlen, -1.5, 1.5)
+    pack_d = f_bin.astype(jnp.float32) * 8.0 + delta_d + 3.0
+    mag_ridge = jnp.maximum(jnp.maximum(fp32, fm32), f032)
+    # gradient angle AT the ridge (where it is well-defined): gang shifted
+    # by the rounded snap along the bin direction
+    shift_i = jnp.round(delta_d / binlen).astype(jnp.int32)
+    gang_ridge = gang
+    for b, (bdx, bdy) in enumerate(nbr_dirs):
+        gp = jnp.roll(gang, (-bdy, -bdx), axis=(0, 1))
+        gm = jnp.roll(gang, (bdy, bdx), axis=(0, 1))
+        sel = f_bin == b
+        gang_ridge = jnp.where(sel & (shift_i == 1), gp, gang_ridge)
+        gang_ridge = jnp.where(sel & (shift_i == -1), gm, gang_ridge)
+    # ---- sparse refinement for the K winners only: gathered dense snap
+    # + weighted PCA refit + contiguity cumprod. Intermediate passes run
+    # at 2x coarser sample spacing (same spatial reach, half the gather
+    # volume); the final eval pass runs fine for endpoint precision. ----
+    step_px = 1.5  # fine sample spacing: covers S*step_px px each direction
+    def _make_ts(n, step):
+        return jnp.concatenate(
+            [-jnp.arange(n, 0, -1, dtype=jnp.float32),
+             jnp.arange(1, n + 1, dtype=jnp.float32)]
+        ) * step
 
-    def refine(cx_, cy_, d_ang):
+    ts_fine = _make_ts(S, step_px)
+    ts_coarse = _make_ts(S // 2, 2.0 * step_px)
+
+    def refine(cx_, cy_, d_ang, ts):
+        half = ts.shape[0] // 2
+        neg_half = slice(0, half)
+        pos_half = slice(half, 2 * half)
         dxi = jnp.cos(d_ang)
         dyi = jnp.sin(d_ang)
-        nxi = -dyi
-        nyi = dxi
         px = cx_[:, None] + dxi[:, None] * ts[None, :]   # [K, 2S]
         py = cy_[:, None] + dyi[:, None] * ts[None, :]
-        m3 = _nearest(
-            [mag],
-            jnp.stack([px - nxi[:, None], px, px + nxi[:, None]], axis=0),
-            jnp.stack([py - nyi[:, None], py, py + nyi[:, None]], axis=0),
-        )[0].astype(jnp.float32)
-        m_m, m_0, m_p = m3[0], m3[1], m3[2]
-        denom = m_m - 2.0 * m_0 + m_p
-        delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (m_m - m_p) / denom, 0.0)
-        delta = jnp.clip(delta, -1.5, 1.5)
-        qx = px + delta * nxi[:, None]
-        qy = py + delta * nyi[:, None]
-        # angle at the snapped (on-ridge) position, where it is well-defined
-        s_ang, = _nearest([gang], qx, qy)
-        s_mag = jnp.maximum(jnp.maximum(m_m, m_p), m_0)
+        s_mag, s_pack, s_ang = _nearest([mag_ridge, pack_d, gang_ridge], px, py)
+        s_bin = jnp.clip(jnp.floor(s_pack * 0.125), 0.0, 3.0)
+        delta = s_pack - 8.0 * s_bin - 3.0
+        # 4-way selects, not a table gather (gathers are what this avoids)
+        r2 = 0.7071067811865476
+        bdx = jnp.where(
+            s_bin == 0.0, 1.0, jnp.where(s_bin == 1.0, r2, jnp.where(s_bin == 2.0, 0.0, -r2))
+        )
+        bdy = jnp.where(s_bin == 0.0, 0.0, jnp.where(s_bin == 2.0, 1.0, r2))
+        qx = px + delta * bdx
+        qy = py + delta * bdy
         # expected gradient orientation is perpendicular to the refit line
         expect_ang = d_ang + jnp.pi / 2
         aligned = (
@@ -316,11 +358,11 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
         return mx_, my_, new_ang, (ts, run, msum, nsamp)
 
     for _ in range(cfg.line_refine_iters):
-        cx_, cy_, d_ang, _ = refine(cx_, cy_, d_ang)
+        cx_, cy_, d_ang, _ = refine(cx_, cy_, d_ang, ts_coarse)
     # final evaluation pass at the refit geometry: t offsets in `run` are
     # relative to the center the samples were taken from, so endpoints must
     # come from a pass whose center is NOT updated afterwards
-    _, _, _, (ts_f, run, msum, nsamp) = refine(cx_, cy_, d_ang)
+    _, _, _, (ts_f, run, msum, nsamp) = refine(cx_, cy_, d_ang, ts_fine)
     dxf = jnp.cos(d_ang)
     dyf = jnp.sin(d_ang)
     # endpoints: extreme aligned offsets projected on the refit line
