@@ -19,9 +19,6 @@ import time
 
 import numpy as np
 
-CHUNK = 50  # keep equal to SLAMSystem.SCAN_CHUNK so no remainder frames
-
-
 def main():
     import jax
     import jax.numpy as jnp
@@ -29,6 +26,8 @@ def main():
     from structure_slam_pointline_tpu.config import CameraConfig, SLAMConfig
     from structure_slam_pointline_tpu.io import synthetic
     from structure_slam_pointline_tpu.models.system import SLAMSystem
+
+    CHUNK = SLAMSystem.SCAN_CHUNK  # scan-sized chunks: no remainder frames
 
     cam = CameraConfig(fy=480.0)
     cfg = SLAMConfig(camera=cam)

@@ -462,28 +462,50 @@ def cull_lines(state: MapState, n_kf: jnp.ndarray, cfg: SLAMConfig) -> MapState:
     return state._replace(ml_valid=ml_valid, kf_line_ml=kf_line_ml)
 
 
+KF_CULL_WINDOW = 32  # recent keyframes eligible for culling
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def cull_keyframes(state: MapState, n_kf: jnp.ndarray, cfg: SLAMConfig) -> MapState:
+def cull_keyframes(
+    state: MapState, n_kf: jnp.ndarray, cfg: SLAMConfig,
+    obs: jnp.ndarray | None = None,
+) -> MapState:
     """KeyFrameCulling (reference LocalMapping.cc:1382-1446): invalidate a
     keyframe if >= 90% of the landmarks it observes are observed by at
     least 3 other keyframes. Keyframes 0/1 and the most recent two are
-    protected. Runs over the whole [K, F] grid in one pass."""
+    protected. Like the reference — which culls only the current KF's
+    covisibility neighbors (LocalMapping.cc:1388) — only the most recent
+    KF_CULL_WINDOW keyframes are examined; this also keeps the per-edge
+    obs gather at [W, F] instead of [K, F] (profiled ~1.9 ms/keyframe).
+    `obs` lets the caller reuse precomputed point_obs_counts."""
     K, F = state.kf_kp_mp.shape
     P = state.mp_valid.shape[0]
-    obs = point_obs_counts(state)                      # [P]
-    has_edge = state.kf_kp_mp >= 0
-    mp_safe = jnp.clip(state.kf_kp_mp, 0, P - 1)
+    W = min(KF_CULL_WINDOW, K)
+    if obs is None:
+        obs = point_obs_counts(state)                  # [P]
+    lo = jnp.clip(n_kf - W, 0, K - W)
+    win_mp = jax.lax.dynamic_slice(state.kf_kp_mp, (lo, 0), (W, F))
+    has_edge = win_mp >= 0
+    mp_safe = jnp.clip(win_mp, 0, P - 1)
     redundant_edge = has_edge & (obs[mp_safe] >= 4)    # seen by >= 3 others
     n_obs_kf = has_edge.sum(axis=1)
     n_red_kf = redundant_edge.sum(axis=1)
     ratio = n_red_kf.astype(jnp.float32) / jnp.maximum(n_obs_kf.astype(jnp.float32), 1.0)
-    ids = jnp.arange(K)
-    protected = (ids <= 1) | (ids >= n_kf - 2) | ~state.kf_valid
+    ids = jnp.arange(W) + lo
+    win_valid = jax.lax.dynamic_slice(state.kf_valid, (lo,), (W,))
+    protected = (ids <= 1) | (ids >= n_kf - 2) | ~win_valid
     cull = ~protected & (ratio > cfg.map.kf_cull_redundancy) & (n_obs_kf > 20)
-    kf_valid = state.kf_valid & ~cull
+    kf_valid = jax.lax.dynamic_update_slice(state.kf_valid, win_valid & ~cull, (lo,))
     # erase the culled keyframes' observations
-    kf_kp_mp = jnp.where(cull[:, None], -1, state.kf_kp_mp)
-    kf_line_ml = jnp.where(cull[:, None], -1, state.kf_line_ml)
+    kf_kp_mp = jax.lax.dynamic_update_slice(
+        state.kf_kp_mp, jnp.where(cull[:, None], -1, win_mp), (lo, 0)
+    )
+    win_ml = jax.lax.dynamic_slice(
+        state.kf_line_ml, (lo, 0), (W, state.kf_line_ml.shape[1])
+    )
+    kf_line_ml = jax.lax.dynamic_update_slice(
+        state.kf_line_ml, jnp.where(cull[:, None], -1, win_ml), (lo, 0)
+    )
     return state._replace(kf_valid=kf_valid, kf_kp_mp=kf_kp_mp, kf_line_ml=kf_line_ml)
 
 
@@ -696,10 +718,17 @@ def _gather_ba_device(state: MapState, local_kf: jnp.ndarray, free: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def cull_points(state: MapState, n_kf: jnp.ndarray, cfg: SLAMConfig) -> MapState:
+def cull_points(
+    state: MapState, n_kf: jnp.ndarray, cfg: SLAMConfig,
+    obs: jnp.ndarray | None = None,
+) -> MapState:
     """MapPointCulling (reference LocalMapping.cc:283-327): drop landmarks
-    with found/visible < 0.25 or too few KF observations soon after birth."""
-    obs = point_obs_counts(state)
+    with found/visible < 0.25 or too few KF observations soon after birth.
+    `obs` lets the caller reuse precomputed point_obs_counts (culling only
+    removes whole points, so surviving points' counts stay valid for a
+    subsequent cull_keyframes)."""
+    if obs is None:
+        obs = point_obs_counts(state)
     ratio = state.mp_found.astype(jnp.float32) / jnp.maximum(
         state.mp_visible.astype(jnp.float32), 1.0
     )

@@ -34,6 +34,7 @@ from structure_slam_pointline_tpu.ops import extract, lbd, lsd
 from structure_slam_pointline_tpu.optim import local_ba
 from structure_slam_pointline_tpu.utils import camera as cam_utils
 from structure_slam_pointline_tpu.utils.camera import Intrinsics
+from structure_slam_pointline_tpu.world import map_store
 from structure_slam_pointline_tpu.world.map_store import MapState
 
 
@@ -131,10 +132,12 @@ def _keyframe_pipeline(
     prob, local_kf, local_mp = _gather_ba_problem_device(st, k + 1, cfg)
     ba = local_ba.bundle_adjust(prob, intr, cfg.optim)
     st = lm.apply_ba_result(st, local_kf, local_mp, ba)
-    st = lm.cull_points(st, k + 1, cfg)
+    # one obs-count scatter shared by point and keyframe culling
+    obs = map_store.point_obs_counts(st)
+    st = lm.cull_points(st, k + 1, cfg, obs=obs)
     if cfg.use_lines:
         st = lm.cull_lines(st, k + 1, cfg)
-    st = lm.cull_keyframes(st, k + 1, cfg)
+    st = lm.cull_keyframes(st, k + 1, cfg, obs=obs)
     # the tracked pose may have moved in BA
     T_new = st.kf_T_cw[k]
     return st, n_mp, n_ml, k + 1, T_new

@@ -109,8 +109,8 @@ class SLAMSystem:
             T = self._track_device(img, frame_id)
         return T
 
-    SCAN_CHUNK = 50  # fixed scan length => exactly one compiled scan program
-    # (50 amortizes the ~100 ms/chunk of tunnel RTT + dispatch overhead;
+    SCAN_CHUNK = 100  # fixed scan length => exactly one compiled scan program
+    # (amortizes the ~50 ms/chunk of tunnel RTT + dispatch + fetch overhead;
     # the scan body compiles once regardless of trip count)
 
     def track_sequence(self, imgs: np.ndarray, first_frame_id: int):
