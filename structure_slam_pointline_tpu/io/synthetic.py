@@ -88,6 +88,26 @@ def circular_trajectory(n_frames: int, radius: float = 0.4, yaw_amp: float = 0.0
     return np.asarray(poses, np.float32)
 
 
+def sweep_trajectory(n_frames: int, x_extent: float = 2.5, yaw_amp: float = 0.10,
+                     z_amp: float = 0.2) -> np.ndarray:
+    """[N, 4, 4] out-and-back T_wc sweep along +x and home again: the
+    camera revisits its starting view in the second half, giving loop
+    closing a genuine revisit (and odometry a chance to drift first)."""
+    ts = np.linspace(0, 2 * np.pi, n_frames)
+    poses = []
+    for t in ts:
+        cx = 0.5 * x_extent * (1 - np.cos(t))      # 0 -> x_extent -> 0
+        cz = z_amp * np.sin(t)
+        yaw = yaw_amp * np.sin(t)
+        cy_, sy_ = np.cos(yaw), np.sin(yaw)
+        Ry = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+        T = np.eye(4)
+        T[:3, :3] = Ry
+        T[:3, 3] = [cx, 0.1 * np.sin(2 * t), cz]
+        poses.append(T)
+    return np.asarray(poses, np.float32)
+
+
 def _project(cam: CameraConfig, p_cam: np.ndarray):
     z = p_cam[..., 2]
     u = p_cam[..., 0] / z * cam.fx + cam.cx
@@ -220,6 +240,6 @@ def ate_rmse(est_Twc: np.ndarray, gt_Twc: np.ndarray, align: bool = True) -> flo
 
 
 __all__ = [
-    "Scene", "make_room_scene", "circular_trajectory", "render",
-    "render_sequence", "ate_rmse",
+    "Scene", "make_room_scene", "circular_trajectory", "sweep_trajectory",
+    "render", "render_sequence", "ate_rmse",
 ]

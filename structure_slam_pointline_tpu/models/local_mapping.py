@@ -36,6 +36,7 @@ BA_LOCAL_KF = BA_WINDOW + BA_FIXED
 # cost knob. Overflowing landmarks are silently left out of one BA round
 # (graceful: they stay in the map and get picked up by later windows).
 BA_LOCAL_MP = 2048
+BA_LOCAL_LN = 256      # local map-line capacity (line endpoint landmarks)
 
 
 def _distinctive_update(ring, ring_n, lm_ids, new_desc, n_slots):
@@ -469,43 +470,44 @@ KF_CULL_WINDOW = 32  # recent keyframes eligible for culling
 def cull_keyframes(
     state: MapState, n_kf: jnp.ndarray, cfg: SLAMConfig,
     obs: jnp.ndarray | None = None,
+    cand_ids: jnp.ndarray | None = None,
 ) -> MapState:
     """KeyFrameCulling (reference LocalMapping.cc:1382-1446): invalidate a
     keyframe if >= 90% of the landmarks it observes are observed by at
     least 3 other keyframes. Keyframes 0/1 and the most recent two are
-    protected. Like the reference — which culls only the current KF's
-    covisibility neighbors (LocalMapping.cc:1388) — only the most recent
-    KF_CULL_WINDOW keyframes are examined; this also keeps the per-edge
-    obs gather at [W, F] instead of [K, F] (profiled ~1.9 ms/keyframe).
-    `obs` lets the caller reuse precomputed point_obs_counts."""
+    protected. `cand_ids` ([W] keyframe ids, -1 padded) selects the
+    candidates — the pipeline passes the new KF's covisibility neighbors,
+    matching the reference (LocalMapping.cc:1388 culls only covisible
+    keyframes); without it the most recent KF_CULL_WINDOW are examined.
+    Either way the per-edge obs gather stays [W, F], not [K, F]
+    (profiled ~1.9 ms/keyframe). `obs` lets the caller reuse precomputed
+    point_obs_counts."""
     K, F = state.kf_kp_mp.shape
     P = state.mp_valid.shape[0]
     W = min(KF_CULL_WINDOW, K)
     if obs is None:
         obs = point_obs_counts(state)                  # [P]
-    lo = jnp.clip(n_kf - W, 0, K - W)
-    win_mp = jax.lax.dynamic_slice(state.kf_kp_mp, (lo, 0), (W, F))
+    if cand_ids is None:
+        lo = jnp.clip(n_kf - W, 0, K - W)
+        cand_ids = jnp.arange(W) + lo
+    ids = cand_ids
+    rows = jnp.clip(ids, 0, K - 1)
+    present = (ids >= 0) & (ids < n_kf)
+    win_mp = jnp.where(present[:, None], state.kf_kp_mp[rows], -1)
     has_edge = win_mp >= 0
     mp_safe = jnp.clip(win_mp, 0, P - 1)
     redundant_edge = has_edge & (obs[mp_safe] >= 4)    # seen by >= 3 others
     n_obs_kf = has_edge.sum(axis=1)
     n_red_kf = redundant_edge.sum(axis=1)
     ratio = n_red_kf.astype(jnp.float32) / jnp.maximum(n_obs_kf.astype(jnp.float32), 1.0)
-    ids = jnp.arange(W) + lo
-    win_valid = jax.lax.dynamic_slice(state.kf_valid, (lo,), (W,))
+    win_valid = state.kf_valid[rows] & present
     protected = (ids <= 1) | (ids >= n_kf - 2) | ~win_valid
     cull = ~protected & (ratio > cfg.map.kf_cull_redundancy) & (n_obs_kf > 20)
-    kf_valid = jax.lax.dynamic_update_slice(state.kf_valid, win_valid & ~cull, (lo,))
+    drop = jnp.where(cull, rows, K)
+    kf_valid = state.kf_valid.at[drop].set(False, mode="drop")
     # erase the culled keyframes' observations
-    kf_kp_mp = jax.lax.dynamic_update_slice(
-        state.kf_kp_mp, jnp.where(cull[:, None], -1, win_mp), (lo, 0)
-    )
-    win_ml = jax.lax.dynamic_slice(
-        state.kf_line_ml, (lo, 0), (W, state.kf_line_ml.shape[1])
-    )
-    kf_line_ml = jax.lax.dynamic_update_slice(
-        state.kf_line_ml, jnp.where(cull[:, None], -1, win_ml), (lo, 0)
-    )
+    kf_kp_mp = state.kf_kp_mp.at[drop].set(-1, mode="drop")
+    kf_line_ml = state.kf_line_ml.at[drop].set(-1, mode="drop")
     return state._replace(kf_valid=kf_valid, kf_kp_mp=kf_kp_mp, kf_line_ml=kf_line_ml)
 
 
@@ -633,9 +635,11 @@ def apply_ba_result(
     local_kf: jnp.ndarray,     # [KL] global kf ids (-1 pad)
     local_mp: jnp.ndarray,     # [PL] global mp ids (-1 pad)
     ba: local_ba.BAResult,
+    local_ln: jnp.ndarray | None = None,  # [LL] global ml ids (-1 pad)
 ) -> MapState:
-    """Scatter optimized poses/points back and erase outlier observations
-    (the reference does this under the map mutex, Optimizer.cc:1526-1592)."""
+    """Scatter optimized poses/points (and line endpoints) back and erase
+    outlier observations (the reference does this under the map mutex,
+    Optimizer.cc:1526-1592)."""
     K = state.kf_valid.shape[0]
     P = state.mp_valid.shape[0]
     kf_ids = jnp.where(local_kf >= 0, local_kf, K)
@@ -652,6 +656,16 @@ def apply_ba_result(
     keep = ~had_edge | ba.edge_inlier
     new_rows = jnp.where(keep, cur, -1)
     st = st._replace(kf_kp_mp=st.kf_kp_mp.at[kf_ids].set(new_rows, mode="drop"))
+    if local_ln is not None and ba.ln_start is not None:
+        L = state.ml_valid.shape[0]
+        ln_ids = jnp.where(local_ln >= 0, local_ln, L)
+        eps = jnp.concatenate([ba.ln_start, ba.ln_end], axis=1)  # [LL, 6]
+        st = st._replace(
+            ml_endpoints=st.ml_endpoints.at[ln_ids].set(eps, mode="drop"))
+        lcur = st.kf_line_ml[rows]
+        lkeep = (lcur < 0) | ba.line_inlier
+        st = st._replace(kf_line_ml=st.kf_line_ml.at[kf_ids].set(
+            jnp.where(lkeep, lcur, -1), mode="drop"))
     return st
 
 
@@ -676,9 +690,12 @@ def gather_ba_problem(
     return _gather_ba_device(state, local_kf, free, cfg)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "n_mp_cap", "n_ln_cap"))
 def _gather_ba_device(state: MapState, local_kf: jnp.ndarray, free: jnp.ndarray,
-                      cfg: SLAMConfig):
+                      cfg: SLAMConfig, n_mp_cap: int = BA_LOCAL_MP,
+                      n_ln_cap: int = BA_LOCAL_LN):
+    """Returns (prob, lines, local_kf, local_mp, local_ln); `lines` /
+    `local_ln` are None when cfg.use_lines is off."""
     K = state.kf_valid.shape[0]
     P = state.mp_valid.shape[0]
     rows = jnp.clip(local_kf, 0, K - 1)
@@ -690,12 +707,12 @@ def _gather_ba_device(state: MapState, local_kf: jnp.ndarray, free: jnp.ndarray,
         jnp.where(edge_mp_glob >= 0, edge_mp_glob, P).reshape(-1)
     ].set(True, mode="drop")
     in_local &= state.mp_valid
-    local_mp = jnp.nonzero(in_local, size=BA_LOCAL_MP, fill_value=-1)[0]
+    local_mp = jnp.nonzero(in_local, size=n_mp_cap, fill_value=-1)[0]
     mp_safe = jnp.clip(local_mp, 0, P - 1)
     # global -> local index table
     g2l = jnp.full((P + 1,), -1, jnp.int32).at[
         jnp.where(local_mp >= 0, local_mp, P)
-    ].set(jnp.arange(BA_LOCAL_MP, dtype=jnp.int32), mode="drop")
+    ].set(jnp.arange(n_mp_cap, dtype=jnp.int32), mode="drop")
     edge_mp_local = jnp.where(
         edge_mp_glob >= 0, g2l[jnp.clip(edge_mp_glob, 0, P)], -1
     )
@@ -714,7 +731,38 @@ def _gather_ba_device(state: MapState, local_kf: jnp.ndarray, free: jnp.ndarray,
         mp_xyz=state.mp_xyz[mp_safe],
         mp_valid=(local_mp >= 0) & state.mp_valid[mp_safe],
     )
-    return prob, local_kf, local_mp
+    if not cfg.use_lines:
+        return prob, None, local_kf, local_mp, None
+
+    # map-line block: lines with edges in the window, endpoints as
+    # marginalized landmarks (optim/local_ba.py BALineProblem)
+    L = state.ml_valid.shape[0]
+    edge_ln_glob = jnp.where(kf_ok[:, None], state.kf_line_ml[rows], -1)
+    ln_local = jnp.zeros(L, bool).at[
+        jnp.where(edge_ln_glob >= 0, edge_ln_glob, L).reshape(-1)
+    ].set(True, mode="drop")
+    ln_local &= state.ml_valid
+    local_ln = jnp.nonzero(ln_local, size=n_ln_cap, fill_value=-1)[0]
+    ln_safe = jnp.clip(local_ln, 0, L - 1)
+    g2l_ln = jnp.full((L + 1,), -1, jnp.int32).at[
+        jnp.where(local_ln >= 0, local_ln, L)
+    ].set(jnp.arange(n_ln_cap, dtype=jnp.int32), mode="drop")
+    edge_ln_local = jnp.where(
+        edge_ln_glob >= 0, g2l_ln[jnp.clip(edge_ln_glob, 0, L)], -1
+    )
+    lsigma2 = jnp.power(
+        cfg.frontend.scale_factor, 2.0 * state.kf_loctave[rows].astype(jnp.float32)
+    )
+    lines = local_ba.BALineProblem(
+        ln_start=state.ml_endpoints[ln_safe, :3],
+        ln_end=state.ml_endpoints[ln_safe, 3:],
+        ln_valid=(local_ln >= 0) & state.ml_valid[ln_safe],
+        obs_l=state.kf_line2d[rows],
+        obs_sigma2=lsigma2,
+        edge_ln=edge_ln_local,
+        edge_valid=(edge_ln_local >= 0) & state.kf_line_valid[rows],
+    )
+    return prob, lines, local_kf, local_mp, local_ln
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))

@@ -97,14 +97,32 @@ def build_frame_device(img: jnp.ndarray, intr: Intrinsics, cfg: SLAMConfig) -> F
     )
 
 
-def _gather_ba_problem_device(state: MapState, n_kf: jnp.ndarray, cfg: SLAMConfig):
-    """Device-side local-BA window: last BA_WINDOW KFs free, BA_FIXED
-    frontier fixed, KF 0 gauge-pinned."""
+def _gather_ba_problem_device(
+    state: MapState, n_kf: jnp.ndarray, cfg: SLAMConfig, k_new: jnp.ndarray,
+    covis_w: jnp.ndarray,
+):
+    """Device-side local-BA window selected by COVISIBILITY of the new
+    keyframe (reference Optimizer::LocalBundleAdjustment takes the
+    current KF's covisibility neighbors as free vertices and the KFs
+    seeing local points as the fixed frontier, Optimizer.cc:1264-1303):
+    the BA_WINDOW strongest-covisible KFs (+ k_new) are free, the next
+    BA_FIXED are the fixed frontier, KF 0 gauge-pinned. `covis_w` is
+    covisibility_weights(state, k_new)."""
     KL = lm.BA_LOCAL_KF
-    ids = jnp.arange(KL, dtype=jnp.int32) + (n_kf - KL)
-    valid = ids >= 0
-    local_kf = jnp.where(valid, ids, -1)
-    free = valid & (ids >= n_kf - lm.BA_WINDOW) & (ids != 0)
+    K = covis_w.shape[0]
+    kid = jnp.arange(K)
+    score = jnp.where(kid == k_new, 1 << 20, covis_w)
+    score = jnp.where(state.kf_valid & (kid < n_kf), score, 0)
+    top_v, top_i = jax.lax.top_k(score, KL)
+    sel = top_v > 0
+    local_kf = jnp.where(sel, top_i, -1)
+    rank = jnp.arange(KL)
+    free = sel & (rank < lm.BA_WINDOW) & (top_i != 0)
+    # gauge: if nothing in the window is fixed (small / fully-connected
+    # maps), pin the oldest selected keyframe
+    has_fixed = jnp.any(sel & ~free)
+    min_id = jnp.min(jnp.where(sel, top_i, K))
+    free = jnp.where(has_fixed, free, free & (top_i != min_id))
     return lm._gather_ba_device(state, local_kf, free, cfg)
 
 
@@ -119,25 +137,38 @@ def _keyframe_pipeline(
     st = lm.insert_keyframe(
         state, k, frame_id, tr.T_cw, frame, tr.feat_mp, tr.line_ml, cfg
     )
-    out1 = lm.create_new_points(st, k, jnp.maximum(k - 1, 0), n_mp, intr, cfg)
+    # covisibility weights of the new keyframe drive neighbor selection
+    # everywhere below (triangulation partners, BA window, cull window) —
+    # the reference's UpdateConnections -> GetBestCovisibilityKeyFrames
+    # pattern (KeyFrame.cc:301-415, LocalMapping.cc:375-440)
+    covis_w = map_store.covisibility_weights(st, k)
+    top_w, top_n = jax.lax.top_k(covis_w, 2)
+    nb1 = jnp.where(top_w[0] > 0, top_n[0], jnp.maximum(k - 1, 0))
+    nb2 = jnp.where(top_w[1] > 0, top_n[1], jnp.maximum(k - 2, 0))
+    out1 = lm.create_new_points(st, k, nb1, n_mp, intr, cfg)
     st, n_mp = out1.state, n_mp + out1.n_new
-    out2 = lm.create_new_points(st, k, jnp.maximum(k - 2, 0), n_mp, intr, cfg)
+    out2 = lm.create_new_points(st, k, nb2, n_mp, intr, cfg)
     st, n_mp = out2.state, n_mp + out2.n_new
     if cfg.use_lines:
-        outl = lm.create_new_lines(st, k, jnp.maximum(k - 1, 0), n_ml, intr, cfg)
+        outl = lm.create_new_lines(st, k, nb1, n_ml, intr, cfg)
         st, n_ml = outl.state, n_ml + outl.n_new
     st = lm.fuse_duplicate_points(st, k, k + 1, intr, cfg)
     if cfg.use_lines:
         st = lm.fuse_duplicate_lines(st, k, k + 1, intr, cfg)
-    prob, local_kf, local_mp = _gather_ba_problem_device(st, k + 1, cfg)
-    ba = local_ba.bundle_adjust(prob, intr, cfg.optim)
-    st = lm.apply_ba_result(st, local_kf, local_mp, ba)
-    # one obs-count scatter shared by point and keyframe culling
+    prob, ba_lines, local_kf, local_mp, local_ln = _gather_ba_problem_device(
+        st, k + 1, cfg, k, covis_w)
+    ba = local_ba.bundle_adjust(prob, intr, cfg.optim, lines=ba_lines)
+    st = lm.apply_ba_result(st, local_kf, local_mp, ba, local_ln=local_ln)
+    # one obs-count scatter shared by point and keyframe culling; cull
+    # candidates = the new KF's covisibility neighbors (reference
+    # LocalMapping.cc:1388 culls only covisible keyframes)
     obs = map_store.point_obs_counts(st)
     st = lm.cull_points(st, k + 1, cfg, obs=obs)
     if cfg.use_lines:
         st = lm.cull_lines(st, k + 1, cfg)
-    st = lm.cull_keyframes(st, k + 1, cfg, obs=obs)
+    cull_w, cull_i = jax.lax.top_k(covis_w, min(lm.KF_CULL_WINDOW, covis_w.shape[0]))
+    cand_ids = jnp.where(cull_w > 0, cull_i, -1)
+    st = lm.cull_keyframes(st, k + 1, cfg, obs=obs, cand_ids=cand_ids)
     # the tracked pose may have moved in BA
     T_new = st.kf_T_cw[k]
     return st, n_mp, n_ml, k + 1, T_new
@@ -158,7 +189,8 @@ def slam_step(
     # when lost, search the whole map wide (relocalization-lite)
     kf_lo = jnp.where(carry.ok, kf_lo, 0)
     with jax.named_scope("track"):
-        tr = tracking.track_step(carry.state, frame, T_pred, kf_lo, intr, cfg)
+        tr = tracking.track_step(carry.state, frame, T_pred, kf_lo, intr, cfg,
+                                 n_kf=carry.n_kf)
 
     # fallback when the motion prediction misses: re-track from the LAST
     # pose with 2.5x windows — the role of TrackReferenceKeyFrame
@@ -169,7 +201,7 @@ def slam_step(
         with jax.named_scope("track_fallback"):
             return tracking.track_step(
                 carry.state, frame, carry.T_last, kf_lo, intr, cfg,
-                radius_scale=2.5,
+                radius_scale=2.5, n_kf=carry.n_kf,
             )
 
     tr = jax.lax.cond(

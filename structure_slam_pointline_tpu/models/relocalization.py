@@ -97,7 +97,8 @@ def relocalize(
         # exactly that: project the whole map at the PnP pose, window-match,
         # chi2-gated pose LM, re-project tight, LM again.
         tr = tracking.track_step(state, frame, res.T_cw,
-                                 jnp.asarray(0, jnp.int32), intr, cfg)
+                                 jnp.asarray(0, jnp.int32), intr, cfg,
+                                 n_kf=jnp.asarray(n_kf, jnp.int32))
         if int(tr.n_inliers) >= 2 * cfg.keyframe.min_matches_reloc:
             return np.asarray(tr.T_cw)
     return None

@@ -32,8 +32,7 @@ from structure_slam_pointline_tpu.config import SLAMConfig
 from structure_slam_pointline_tpu.models import local_mapping as lm
 from structure_slam_pointline_tpu.models import pipeline, tracking
 from structure_slam_pointline_tpu.models.tracking import Frame
-from structure_slam_pointline_tpu.ops import extract, hamming, matching, twoview
-from structure_slam_pointline_tpu.utils import camera as cam_utils
+from structure_slam_pointline_tpu.ops import hamming, matching, twoview
 from structure_slam_pointline_tpu.utils.camera import Intrinsics
 from structure_slam_pointline_tpu.world import map_store
 
@@ -80,23 +79,11 @@ class SLAMSystem:
     # frame building
     # ------------------------------------------------------------------ #
     def build_frame(self, img: np.ndarray, init_mode: bool = False) -> Frame:
-        fe = self.cfg.frontend
-        n_kp = fe.n_keypoints  # fixed capacity either way; init uses lower FAST bar
-        kp = extract.extract_orb(jnp.asarray(img, jnp.float32), fe, n_keypoints=n_kp)
-        xy = cam_utils.undistort_pixels(self.intr, kp.xy) if self.cfg.camera.has_distortion else kp.xy
-        LF = fe.n_lines
-        return Frame(
-            xy=xy,
-            desc=kp.desc,
-            octave=kp.octave,
-            angle=kp.angle,
-            kp_valid=kp.valid,
-            line2d=jnp.zeros((LF, 3), jnp.float32),
-            line_ep=jnp.zeros((LF, 4), jnp.float32),
-            ldesc=jnp.zeros((LF, 8), jnp.uint32),
-            loctave=jnp.zeros((LF,), jnp.int32),
-            line_valid=jnp.zeros((LF,), bool),
-        )
+        """Full device frame build — ORB AND lines (the reference extracts
+        both in the Frame ctor including during initialization,
+        Frame.cc:86-87), so the initial map can carry line observations."""
+        return pipeline.build_frame_device(
+            jnp.asarray(img, jnp.float32), self.intr, self.cfg)
 
     # ------------------------------------------------------------------ #
     # public API
@@ -115,48 +102,128 @@ class SLAMSystem:
 
     def track_sequence(self, imgs: np.ndarray, first_frame_id: int):
         """Batch mode: stream a [N, H, W] sequence through lax.scan in
-        fixed-size chunks (zero per-frame host round-trips; one compiled
-        program regardless of N). Requires an initialized map.
-        Returns (T_cw [N, 4, 4], ok [N], n_inliers [N], is_kf [N])."""
+        fixed-size chunks (zero per-frame host round-trips on healthy
+        stretches; one compiled program regardless of N). Requires an
+        initialized map. Returns (T_cw [N,4,4], ok [N], n_inliers [N],
+        is_kf [N]).
+
+        Between chunks the host reacts exactly like the reference's
+        per-frame loop would:
+        - a chunk that ENDS lost triggers BoW+PnP relocalization on each
+          frame of the trailing lost run (reference Tracking.cc:217
+          relocalizes on every lost frame); on success the scan restarts
+          from the recovered frame. Lost runs the in-scan wide fallback
+          already recovered from stay as-is.
+        - with `enable_loop_closing`, every keyframe the chunk inserted
+          goes through detect/verify/correct (the reference feeds every
+          KF to LoopClosing, LocalMapping.cc:151).
+        """
         assert self.carry is not None, "initialize first (track() two frames)"
         imgs_j = jnp.asarray(imgs, jnp.float32)
         n = imgs_j.shape[0]
-        outs_all = []
+        T_out = np.zeros((n, 4, 4), np.float32)
+        ok_out = np.zeros(n, bool)
+        inl_out = np.zeros(n, np.int32)
+        kf_out = np.zeros(n, bool)
         i = 0
         # NOTE: fetch after every chunk on purpose. Deferring all fetches and
         # chaining donated carries asynchronously measures ~35% SLOWER on the
         # tunneled TPU backend (donation of still-in-flight buffers appears to
         # force defensive copies of the whole map state).
         while i + self.SCAN_CHUNK <= n:
+            c = self.SCAN_CHUNK
             self.carry, outs = pipeline.slam_scan(
-                self.carry, imgs_j[i : i + self.SCAN_CHUNK],
+                self.carry, imgs_j[i : i + c],
                 jnp.asarray(first_frame_id + i, jnp.int32), self.intr, self.cfg,
                 jnp.asarray(not self.localization_mode),
             )
-            outs_all.append(jax.device_get(
-                (outs.T_cw, outs.ok, outs.n_inliers, outs.is_kf)))
-            i += self.SCAN_CHUNK
-        # remainder: per-frame steps (same compiled slam_step as online mode)
+            T, okk, inl, iskf = jax.device_get(
+                (outs.T_cw, outs.ok, outs.n_inliers, outs.is_kf))
+            T_out[i : i + c] = T
+            ok_out[i : i + c] = okk
+            inl_out[i : i + c] = inl
+            kf_out[i : i + c] = iskf
+            self.map = self.carry.state
+            if self.cfg.enable_loop_closing and iskf.any():
+                self._loop_close_new_keyframes()
+            if not okk[-1]:
+                # trailing lost run: frames after the last healthy one
+                # coasted on the motion model. Try relocalization on each.
+                run0 = int(np.nonzero(okk)[0][-1]) + 1 if okk.any() else 0
+                rec = self._relocalize_run(imgs, i + run0, i + c, first_frame_id)
+                if rec is not None:
+                    jj, T_rec = rec
+                    T_out[jj] = T_rec
+                    ok_out[jj] = True
+                    i = jj + 1  # rescan from the frame after recovery
+                    continue
+            i += c
+        # remainder: per-frame steps (same compiled slam_step as online
+        # mode, with the same lost -> relocalize reaction)
         for j in range(i, n):
-            self.carry, out = pipeline.slam_step(
-                self.carry, imgs_j[j], jnp.asarray(first_frame_id + j, jnp.int32),
-                self.intr, self.cfg, jnp.asarray(not self.localization_mode),
-            )
-            outs_all.append(jax.device_get(
-                (out.T_cw[None], out.ok[None], out.n_inliers[None], out.is_kf[None])))
-        T = np.concatenate([o[0] for o in outs_all])
-        ok = np.concatenate([o[1] for o in outs_all])
-        n_inl = np.concatenate([o[2] for o in outs_all])
-        is_kf = np.concatenate([o[3] for o in outs_all])
+            T_j, ok_j, inl_j, kf_j = self._step_with_recovery(
+                imgs[j], imgs_j[j], first_frame_id + j)
+            if T_j is not None:
+                T_out[j] = T_j
+            ok_out[j] = ok_j
+            inl_out[j] = inl_j
+            kf_out[j] = kf_j
         self.map = self.carry.state
-        for k in range(len(ok)):
-            self.state = TrackingState.OK if ok[k] else TrackingState.LOST
-            self._log(first_frame_id + k, T[k] if ok[k] else None, int(n_inl[k]), bool(is_kf[k]))
-        n_kf, n_mp = jax.device_get((self.carry.n_kf, self.carry.n_mp))  # one RTT
-        self.cur.n_kf = int(n_kf)
-        self.cur.n_mp = int(n_mp)
-        self.last_T = T[-1]
-        return T, ok, n_inl, is_kf
+        for k in range(n):
+            self.state = TrackingState.OK if ok_out[k] else TrackingState.LOST
+            self._log(first_frame_id + k, T_out[k] if ok_out[k] else None,
+                      int(inl_out[k]), bool(kf_out[k]))
+        self.sync_cursors()  # one RTT
+        self.last_T = T_out[-1]
+        return T_out, ok_out, inl_out, kf_out
+
+    def _relocalize_run(self, imgs, j_lo: int, j_hi: int, first_frame_id: int):
+        """Attempt BoW+PnP relocalization on frames [j_lo, j_hi); returns
+        (frame index, recovered T_cw) on first success, else None.
+        (The reference relocalizes on every lost frame regardless of map
+        size, Tracking.cc:217; its <=5-KF check triggers a full reset
+        instead, which batch mode does not do.)"""
+        self.sync_cursors()
+        if self.cur.n_kf < 2:
+            return None  # no map to relocalize against
+        for jj in range(j_lo, j_hi):
+            T_rec = self._attempt_relocalization(
+                np.asarray(imgs[jj]), first_frame_id + jj)
+            if T_rec is not None:
+                return jj, T_rec
+        return None
+
+    def _step_with_recovery(self, img_np, img_j, frame_id: int):
+        """One slam_step + the host lost-reaction, without logging; used by
+        the track_sequence remainder path."""
+        self.carry, out = pipeline.slam_step(
+            self.carry, img_j, jnp.asarray(frame_id, jnp.int32),
+            self.intr, self.cfg, jnp.asarray(not self.localization_mode),
+        )
+        self.map = self.carry.state
+        packed = jax.device_get(pipeline.pack_frame_out(out))
+        T = packed[:16].reshape(4, 4)
+        ok = bool(packed[16] > 0.5)
+        n_inl = int(packed[17])
+        is_kf = bool(packed[18] > 0.5)
+        if ok:
+            if is_kf and self.cfg.enable_loop_closing:
+                self._loop_close_new_keyframes()
+            return np.asarray(T), True, n_inl, is_kf
+        self.sync_cursors()
+        if self.cur.n_kf < 2:
+            return None, False, n_inl, False
+        T_rec = self._attempt_relocalization(np.asarray(img_np), frame_id)
+        return (T_rec, T_rec is not None, n_inl, False)
+
+    def _loop_close_new_keyframes(self) -> None:
+        """Feed every keyframe inserted since the last call through the
+        loop closer (reference LocalMapping.cc:151 enqueues each new KF
+        for LoopClosing)."""
+        prev = self.cur.n_kf
+        self.sync_cursors()
+        for k in range(max(prev, 2), self.cur.n_kf):
+            self._run_loop_closing(k)
 
     # ------------------------------------------------------------------ #
     # initialization (reference Tracking::MonocularInitialization, 328-410)
@@ -207,13 +274,27 @@ class SLAMSystem:
             self._log(frame_id, None, 0, False)
             return None
 
-        T = self._create_initial_map(frame, frame_id, m, out)
+        # line matches ref -> current (LSDmatcher::SerachForInitialize,
+        # LSDmatcher.cpp:257-285: brute-force kNN with ratio; windowed here)
+        ml = None
+        if self.cfg.use_lines:
+            Dl = hamming.hamming_matrix(self.ref_frame.ldesc, frame.ldesc)
+            mid_r = 0.5 * (self.ref_frame.line_ep[:, 0:2] + self.ref_frame.line_ep[:, 2:4])
+            mid_c = 0.5 * (frame.line_ep[:, 0:2] + frame.line_ep[:, 2:4])
+            allow_l = matching.window_mask(
+                mid_r, self.ref_frame.line_valid, mid_c, frame.line_valid, 100.0)
+            ml = matching.masked_match(
+                Dl, allow_l, max_dist=self.cfg.matching.th_high, ratio=0.8)
+
+        T = self._create_initial_map(frame, frame_id, m, out, ml)
         self._log(frame_id, T, n_matches, True)
         return T
 
-    def _create_initial_map(self, frame, frame_id, m, out) -> np.ndarray:
-        """Two keyframes + triangulated landmarks, scale-normalized to
-        median depth 1 (reference CreateInitialMapMonoWithPL, Tracking.cc:853-971)."""
+    def _create_initial_map(self, frame, frame_id, m, out, ml=None) -> np.ndarray:
+        """Two keyframes + triangulated landmarks (points AND lines),
+        scale-normalized to median point depth 1 (reference
+        CreateInitialMapMonoWithPL, Tracking.cc:853-971; init line
+        triangulation Initializer.cc:1003-1171)."""
         good = np.asarray(out.good_mask)
         X = np.asarray(out.points3d)
         med = float(np.median(X[good, 2])) if good.any() else 1.0
@@ -244,18 +325,48 @@ class SLAMSystem:
             mp_visible=st.mp_visible.at[slots].set(2),
             mp_found=st.mp_found.at[slots].set(2),
         )
-        no_lines = jnp.full((frame.line2d.shape[0],), -1, jnp.int32)
+        # triangulate matched lines from the two view planes
+        # (Initializer::LineTriangulate, Initializer.cc:1003-1055) and put
+        # MapLines in the initial map (Tracking.cc:883-907)
+        LF = frame.line2d.shape[0]
+        line_ml0 = np.full(LF, -1, np.int32)
+        line_ml1 = np.full(LF, -1, np.int32)
+        n_newl = 0
+        if ml is not None:
+            tri = twoview.triangulate_lines(
+                self.ref_frame.line2d, self.ref_frame.line_ep,
+                frame.line2d[ml.idx], ml.valid, out.R, out.t, self.intr.K)
+            good_l = np.asarray(tri.good)
+            lids = np.nonzero(good_l)[0]
+            n_newl = len(lids)
+            if n_newl:
+                Xs = np.asarray(tri.start)[lids] / med
+                Xe = np.asarray(tri.end)[lids] / med
+                slots_l = jnp.arange(n_newl)
+                st = st._replace(
+                    ml_endpoints=st.ml_endpoints.at[slots_l].set(
+                        jnp.asarray(np.concatenate([Xs, Xe], 1).astype(np.float32))),
+                    ml_valid=st.ml_valid.at[slots_l].set(True),
+                    ml_first_kf=st.ml_first_kf.at[slots_l].set(0),
+                    ml_last_kf=st.ml_last_kf.at[slots_l].set(1),
+                    ml_visible=st.ml_visible.at[slots_l].set(2),
+                    ml_found=st.ml_found.at[slots_l].set(2),
+                )
+                line_ml0[lids] = np.arange(n_newl)
+                line_ml1[np.asarray(ml.idx)[lids]] = np.arange(n_newl)
+
         st = lm.insert_keyframe(
             st, jnp.asarray(0), jnp.asarray(self.ref_frame_id), jnp.asarray(T0),
-            self.ref_frame, jnp.asarray(mp_of_feat0), no_lines, self.cfg,
+            self.ref_frame, jnp.asarray(mp_of_feat0), jnp.asarray(line_ml0), self.cfg,
         )
         st = lm.insert_keyframe(
             st, jnp.asarray(1), jnp.asarray(frame_id), jnp.asarray(T1),
-            frame, jnp.asarray(mp_of_feat1), no_lines, self.cfg,
+            frame, jnp.asarray(mp_of_feat1), jnp.asarray(line_ml1), self.cfg,
         )
         self.map = st
         self.cur.n_kf = 2
         self.cur.n_mp = n_new
+        self.cur.n_ml = n_newl
 
         # full BA over the initial map (reference runs GBA(20) after init)
         self._run_local_ba()
@@ -266,7 +377,8 @@ class SLAMSystem:
         self.frames_since_kf = 0
         self.inliers_at_kf = n_new
         self.carry = pipeline.make_carry(
-            self.map, self.last_T, self.velocity, self.cur.n_kf, self.cur.n_mp, n_new
+            self.map, self.last_T, self.velocity, self.cur.n_kf, self.cur.n_mp,
+            n_new, n_ml=n_newl,
         )
         return self.last_T
 
@@ -335,14 +447,15 @@ class SLAMSystem:
             self._loop_closer = LoopCloser(self.cfg, self.intr, seed=self.cfg.seed)
         return self._loop_closer
 
-    def _run_loop_closing(self) -> None:
-        """Detect + verify + correct a loop at the newest keyframe
-        (reference LoopClosing::Run, LoopClosing.cc:57-89; thread disabled
-        by default exactly like the reference, System.cc:98 /
+    def _run_loop_closing(self, k: int | None = None) -> None:
+        """Detect + verify + correct a loop at keyframe `k` (default: the
+        newest; reference LoopClosing::Run, LoopClosing.cc:57-89; thread
+        disabled by default exactly like the reference, System.cc:98 /
         cfg.enable_loop_closing)."""
         lc = self._get_loop_closer()
         self.sync_cursors()
-        k = self.cur.n_kf - 1
+        if k is None:
+            k = self.cur.n_kf - 1
         lc.add_keyframe(self.map, k)
         for cand in lc.detect(self.map, self.cur.n_kf, k):
             ver = lc.verify(self.map, k, cand.kf_id)
@@ -359,21 +472,32 @@ class SLAMSystem:
             new_state = global_ba.global_bundle_adjust(
                 new_state, self.cur.n_kf, self.intr, self.cfg
             )
+            # carry the tracked pose through the correction: preserve the
+            # relative pose to the newest keyframe (the scan may be past
+            # keyframe k by now)
+            kl = self.cur.n_kf - 1
+            T_kl_old = np.asarray(self.map.kf_T_cw[kl])
+            T_kl_new = np.asarray(new_state.kf_T_cw[kl])
+            T_last_old = np.asarray(self.carry.T_last)
+            T_last_new = (T_last_old @ np.linalg.inv(T_kl_old) @ T_kl_new
+                          ).astype(np.float32)
             self.map = new_state
             self.carry = self.carry._replace(
                 state=new_state,
-                T_last=jnp.asarray(new_state.kf_T_cw[k]),
+                T_last=jnp.asarray(T_last_new),
                 velocity=jnp.eye(4, dtype=jnp.float32),
             )
-            self.last_T = np.asarray(new_state.kf_T_cw[k])
+            self.last_T = T_last_new
             break
 
     def _run_local_ba(self) -> None:
         from structure_slam_pointline_tpu.optim import local_ba as lba
 
-        prob, local_kf, local_mp = lm.gather_ba_problem(self.map, self.cur.n_kf, self.cfg)
-        result = lba.bundle_adjust(prob, self.intr, self.cfg.optim)
-        self.map = lm.apply_ba_result(self.map, local_kf, local_mp, result)
+        prob, ba_lines, local_kf, local_mp, local_ln = lm.gather_ba_problem(
+            self.map, self.cur.n_kf, self.cfg)
+        result = lba.bundle_adjust(prob, self.intr, self.cfg.optim, lines=ba_lines)
+        self.map = lm.apply_ba_result(self.map, local_kf, local_mp, result,
+                                      local_ln=local_ln)
 
     # ------------------------------------------------------------------ #
     # output

@@ -29,10 +29,12 @@ from structure_slam_pointline_tpu.ops import hamming, matching
 from structure_slam_pointline_tpu.optim import pose_opt
 from structure_slam_pointline_tpu.utils import camera as cam_utils
 from structure_slam_pointline_tpu.utils.camera import Intrinsics
+from structure_slam_pointline_tpu.world import map_store
 from structure_slam_pointline_tpu.world.map_store import MapState
 
 LOCAL_POINTS = 2048
 LOCAL_LINES = 256
+N_LOCAL_KF = 16  # covisibility local-map keyframes (ref caps at 80, Tracking.cc:1762)
 
 
 class Frame(NamedTuple):
@@ -86,6 +88,41 @@ def _local_lines(state: MapState, kf_lo: jnp.ndarray):
     ok = idx >= 0
     safe = jnp.clip(idx, 0, L - 1)
     return idx, ok, safe
+
+
+def _covis_local_sets(state: MapState, votes: jnp.ndarray, n_kf: jnp.ndarray):
+    """Covisibility-driven local map: top-N_LOCAL_KF voted keyframes ->
+    the landmarks (points AND lines) they observe (reference
+    Tracking::UpdateLocalKeyFrames + UpdateLocalPoints/Lines,
+    src/Tracking.cc:1787-1851). The two newest keyframes are always
+    included (the reference seeds the set with the reference keyframe).
+    Returns ((pt_ids, pt_ok, pt_safe), (ln_ids, ln_ok, ln_safe)) with the
+    same fixed capacities as the recency sets."""
+    K = state.kf_valid.shape[0]
+    P = state.mp_valid.shape[0]
+    L = state.ml_valid.shape[0]
+    kid = jnp.arange(K)
+    recent = (kid >= n_kf - 2) & (kid < n_kf) & state.kf_valid
+    score = votes + jnp.where(recent, 1 << 20, 0)
+    top_v, top_i = jax.lax.top_k(score, N_LOCAL_KF)
+    sel = top_v > 0
+    rows = jnp.clip(top_i, 0, K - 1)
+    mp_rows = jnp.where(sel[:, None], state.kf_kp_mp[rows], -1)       # [N, F]
+    pmask = jnp.zeros(P, bool).at[
+        jnp.where(mp_rows >= 0, mp_rows, P).reshape(-1)
+    ].set(True, mode="drop")
+    pmask &= state.mp_valid
+    ml_rows = jnp.where(sel[:, None], state.kf_line_ml[rows], -1)     # [N, LF]
+    lmask = jnp.zeros(L, bool).at[
+        jnp.where(ml_rows >= 0, ml_rows, L).reshape(-1)
+    ].set(True, mode="drop")
+    lmask &= state.ml_valid
+    pidx = jnp.nonzero(pmask, size=LOCAL_POINTS, fill_value=-1)[0]
+    lidx = jnp.nonzero(lmask, size=LOCAL_LINES, fill_value=-1)[0]
+    return (
+        (pidx, pidx >= 0, jnp.clip(pidx, 0, P - 1)),
+        (lidx, lidx >= 0, jnp.clip(lidx, 0, L - 1)),
+    )
 
 
 def _match_points(
@@ -162,21 +199,35 @@ def track_step(
     state: MapState,
     frame: Frame,
     T_pred: jnp.ndarray,
-    kf_lo: jnp.ndarray,       # local window: landmarks seen since this KF id
+    kf_lo: jnp.ndarray,       # pass-1 window: landmarks seen since this KF id
     intr: Intrinsics,
     cfg: SLAMConfig,
     radius_scale: jnp.ndarray | float = 1.0,  # widen pass-1 windows (fallback)
+    n_kf: jnp.ndarray | int = 1 << 20,        # keyframe cursor (covis local map)
 ) -> TrackResult:
+    """Two matching+LM passes, mirroring the reference's per-frame pair
+    TrackWithMotionModel -> TrackLocalMapWithLines (Tracking.cc:1204-1378):
+
+      pass 1: recency window (the motion-model search against recently
+              seen landmarks), wide radius, motion-model pose.
+      pass 2: covisibility local map — keyframes voted by pass-1 matches,
+              top-N_LOCAL_KF, their landmarks (UpdateLocalKeyFrames,
+              Tracking.cc:1787-1851) — tight radius, refined pose.
+
+    Covisibility (not recency) in pass 2 is what keeps tracking alive on
+    revisits: after a loop the nearest map is old, not recent."""
     F = frame.xy.shape[0]
     LF = frame.line2d.shape[0]
     P = state.mp_valid.shape[0]
+    L = state.ml_valid.shape[0]
+    n_kf = jnp.asarray(n_kf, jnp.int32)
 
-    pt_ids, pt_ok, pt_safe = _local_points(state, kf_lo)
-    ln_ids, ln_ok, ln_safe = _local_lines(state, kf_lo)
     pt_sigma2 = _scale_sigma2(frame.octave, cfg.frontend.scale_factor)
     ln_sigma2 = _scale_sigma2(frame.loctave, cfg.frontend.scale_factor)
 
-    def one_round(T, radius_scale, line_radius):
+    def one_round(T, radius_scale, line_radius, pts, lns):
+        pt_ids, pt_ok, pt_safe = pts
+        ln_ids, ln_ok, ln_safe = lns
         m, visible, _ = _match_points(state, frame, T, pt_ok, pt_safe, intr, cfg, radius_scale)
         lm, lvis = _match_lines(state, frame, T, ln_ok, ln_safe, intr, cfg, line_radius)
         # build pose-opt problem over local slots
@@ -191,39 +242,62 @@ def track_step(
         )
         return res, m, visible, lm, lvis
 
-    # pass 1: wide search with motion-model pose
+    # pass 1: wide search with motion-model pose against the recency window
+    pts1 = _local_points(state, kf_lo)
+    lns1 = _local_lines(state, kf_lo)
     with jax.named_scope("pass1"):
         res1, m1, vis1, lm1, lvis1 = one_round(
             T_pred, cfg.matching.search_radius_motion * radius_scale,
-            30.0 * radius_scale,
+            30.0 * radius_scale, pts1, lns1,
         )
-    # pass 2: tight re-search with the refined pose
+    # pass 2: covisibility local map at the refined pose, tight radius
+    pt_ids1 = pts1[0]
+    matched_pt = jnp.zeros(P, bool).at[
+        jnp.where(m1.valid & res1.point_inliers, pt_ids1, P)
+    ].set(True, mode="drop")
+    votes = map_store.kf_match_votes(state, matched_pt)
+    with jax.named_scope("covis_local_map"):
+        pts2, lns2 = _covis_local_sets(state, votes, n_kf)
     with jax.named_scope("pass2"):
-        res2, m2, vis2, lm2, lvis2 = one_round(res1.T_cw, 4.0, 15.0)
+        res2, m2, vis2, lm2, lvis2 = one_round(res1.T_cw, 4.0, 15.0, pts2, lns2)
 
-    # prefer pass-2 matches; keep pass-1 where pass 2 found nothing
-    use2 = m2.valid
-    final_idx = jnp.where(use2, m2.idx, m1.idx)
-    final_ok = use2 | m1.valid
-    final_inl = jnp.where(use2, res2.point_inliers, res1.point_inliers) & final_ok
-    luse2 = lm2.valid
-    lfinal_idx = jnp.where(luse2, lm2.idx, lm1.idx)
-    lfinal_ok = luse2 | lm1.valid
-    lfinal_inl = jnp.where(luse2, res2.line_inliers, res1.line_inliers) & lfinal_ok
+    pt_ids2, ln_ids1, ln_ids2 = pts2[0], lns1[0], lns2[0]
 
-    # scatter to per-feature tables
+    # merge: pass-2 bindings win; pass-1 inliers fill features (and
+    # landmarks) pass 2 did not bind. Cross-pass landmark dedup keeps
+    # kf_kp_mp a 1:1 feature<->landmark map per keyframe (the local-BA
+    # dense grid relies on at most one edge per (KF, landmark)).
+    inl2 = m2.valid & res2.point_inliers
+    bound2 = jnp.zeros(P, bool).at[jnp.where(inl2, pt_ids2, P)].set(True, mode="drop")
+    inl1 = (
+        m1.valid & res1.point_inliers
+        & ~bound2[jnp.clip(pt_ids1, 0, P - 1)]
+    )
     feat_mp = jnp.full((F,), -1, jnp.int32)
-    src = jnp.where(final_inl, pt_ids, -1)
-    feat_mp = feat_mp.at[jnp.where(final_ok, final_idx, F)].set(src, mode="drop")
+    feat_mp = feat_mp.at[jnp.where(inl1, m1.idx, F)].set(
+        jnp.where(pt_ids1 >= 0, pt_ids1, -1), mode="drop")
+    feat_mp = feat_mp.at[jnp.where(inl2, m2.idx, F)].set(
+        jnp.where(pt_ids2 >= 0, pt_ids2, -1), mode="drop")
     feat_inlier = feat_mp >= 0
 
+    linl2 = lm2.valid & res2.line_inliers
+    lbound2 = jnp.zeros(L, bool).at[jnp.where(linl2, ln_ids2, L)].set(True, mode="drop")
+    linl1 = (
+        lm1.valid & res1.line_inliers
+        & ~lbound2[jnp.clip(ln_ids1, 0, L - 1)]
+    )
     line_ml = jnp.full((LF,), -1, jnp.int32)
-    lsrc = jnp.where(lfinal_inl, ln_ids, -1)
-    line_ml = line_ml.at[jnp.where(lfinal_ok, lfinal_idx, LF)].set(lsrc, mode="drop")
+    line_ml = line_ml.at[jnp.where(linl1, lm1.idx, LF)].set(
+        jnp.where(ln_ids1 >= 0, ln_ids1, -1), mode="drop")
+    line_ml = line_ml.at[jnp.where(linl2, lm2.idx, LF)].set(
+        jnp.where(ln_ids2 >= 0, ln_ids2, -1), mode="drop")
     line_inlier = line_ml >= 0
 
     n_inl = jnp.sum(feat_inlier).astype(jnp.int32) + jnp.sum(line_inlier).astype(jnp.int32)
-    n_match = jnp.sum(final_ok).astype(jnp.int32) + jnp.sum(lfinal_ok).astype(jnp.int32)
+    n_match = (
+        jnp.sum(m2.valid).astype(jnp.int32) + jnp.sum(inl1).astype(jnp.int32)
+        + jnp.sum(lm2.valid).astype(jnp.int32) + jnp.sum(linl1).astype(jnp.int32)
+    )
     return TrackResult(
         T_cw=res2.T_cw,
         feat_mp=feat_mp,
@@ -232,9 +306,9 @@ def track_step(
         line_inlier=line_inlier,
         n_inliers=n_inl,
         n_matches=n_match,
-        local_pt_ids=pt_ids,
+        local_pt_ids=pt_ids2,
         visible_pt=vis2,
-        local_ln_ids=ln_ids,
+        local_ln_ids=ln_ids2,
         visible_ln=lvis2,
     )
 

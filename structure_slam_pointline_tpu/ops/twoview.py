@@ -356,4 +356,68 @@ def initialize_two_view(
     )
 
 
-__all__ = ["TwoViewResult", "triangulate", "initialize_two_view", "CHI2_1D", "CHI2_2D"]
+class LineTriangulation(NamedTuple):
+    start: jnp.ndarray   # [M, 3] frame-1 coords
+    end: jnp.ndarray     # [M, 3]
+    good: jnp.ndarray    # [M]
+
+
+@jax.jit
+def triangulate_lines(
+    line2d_1: jnp.ndarray,   # [M, 3] observed normalized line coeffs, view 1
+    ep_1: jnp.ndarray,       # [M, 4] view-1 endpoints (sx, sy, ex, ey)
+    line2d_2: jnp.ndarray,   # [M, 3] matched line coeffs in view 2
+    match_ok: jnp.ndarray,   # [M]
+    R: jnp.ndarray, t: jnp.ndarray,  # frame1 -> frame2
+    K: jnp.ndarray,
+) -> LineTriangulation:
+    """Two-view line triangulation for initialization (reference
+    Initializer::LineTriangulate + ReconstructLine,
+    src/Initializer.cc:1003-1171): the matched view-2 segment defines the
+    plane pi2 = (K [R|t])^T l2 through camera 2; view-1's endpoint rays
+    cut that plane into a 3D segment in frame-1 coordinates. Gates: rays
+    not parallel to the plane, positive depth in BOTH views, endpoint
+    depth ratio, and view-2 line reprojection residual (the reference's
+    MAD cut approximated by a fixed chi2 gate)."""
+    M = line2d_1.shape[0]
+    P2 = K @ jnp.concatenate([R, t[:, None]], axis=1)    # [3, 4]
+    pi2 = line2d_2 @ P2                                   # [M, 4]
+    Kinv = jnp.linalg.inv(K)
+
+    def intersect(uv):
+        d = jnp.concatenate([uv, jnp.ones((M, 1))], axis=1) @ Kinv.T  # rays
+        den = jnp.sum(pi2[:, :3] * d, axis=1)
+        lam = -pi2[:, 3] / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+        return d * lam[:, None], lam
+
+    Xs, lam_s = intersect(ep_1[:, 0:2])
+    Xe, lam_e = intersect(ep_1[:, 2:4])
+    z1s, z1e = Xs[:, 2], Xe[:, 2]
+    z2s = (Xs @ R.T + t)[:, 2]
+    z2e = (Xe @ R.T + t)[:, 2]
+
+    def reproj_line_err(X):
+        ph = X @ P2[:, :3].T + P2[:, 3]
+        uvh = ph[:, :2] / jnp.where(
+            jnp.abs(ph[:, 2:3]) < 1e-9, 1e-9, ph[:, 2:3])
+        return line2d_2[:, 0] * uvh[:, 0] + line2d_2[:, 1] * uvh[:, 1] + line2d_2[:, 2]
+
+    e_s = reproj_line_err(Xs)
+    e_e = reproj_line_err(Xe)
+    seg_len = jnp.linalg.norm(Xe - Xs, axis=1)
+    depth_ratio = jnp.minimum(z1s, z1e) / jnp.maximum(jnp.maximum(z1s, z1e), 1e-9)
+    mid_depth = 0.5 * (z1s + z1e)
+    good = (
+        match_ok
+        & (lam_s > 0.05) & (lam_e > 0.05)
+        & (z1s > 0.05) & (z1e > 0.05) & (z2s > 0.05) & (z2e > 0.05)
+        & (depth_ratio > 0.3)
+        & (seg_len < 1.3 * mid_depth) & (seg_len > 0.01)
+        & (e_s * e_s <= 2.0 * CHI2_1D) & (e_e * e_e <= 2.0 * CHI2_1D)
+        & jnp.all(jnp.isfinite(Xs), axis=1) & jnp.all(jnp.isfinite(Xe), axis=1)
+    )
+    return LineTriangulation(start=Xs, end=Xe, good=good)
+
+
+__all__ = ["TwoViewResult", "triangulate", "initialize_two_view",
+           "LineTriangulation", "triangulate_lines", "CHI2_1D", "CHI2_2D"]

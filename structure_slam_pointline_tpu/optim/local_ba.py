@@ -60,11 +60,31 @@ class BAProblem(NamedTuple):
     mp_valid: jnp.ndarray    # [PL] bool
 
 
+class BALineProblem(NamedTuple):
+    """Optional line block: map-line endpoints as marginalized landmarks
+    with 1-dim point-to-infinite-line residuals per endpoint (the
+    reference's global-BA line edges, Optimizer.cc:436-505 /
+    lineEdge.h:60-114; endpoints are separate VertexSBAPointXYZ there
+    too, so the Schur structure is identical to points with one residual
+    row instead of two)."""
+
+    ln_start: jnp.ndarray    # [LL, 3] world start points
+    ln_end: jnp.ndarray      # [LL, 3]
+    ln_valid: jnp.ndarray    # [LL]
+    obs_l: jnp.ndarray       # [KL, LF, 3] observed normalized line coeffs
+    obs_sigma2: jnp.ndarray  # [KL, LF]
+    edge_ln: jnp.ndarray     # [KL, LF] local line index or -1
+    edge_valid: jnp.ndarray  # [KL, LF]
+
+
 class BAResult(NamedTuple):
     kf_T_cw: jnp.ndarray     # [KL, 4, 4] optimized
     mp_xyz: jnp.ndarray      # [PL, 3] optimized
     edge_inlier: jnp.ndarray  # [KL, F] final chi2 classification
     cost: jnp.ndarray
+    ln_start: jnp.ndarray | None = None   # [LL, 3] optimized
+    ln_end: jnp.ndarray | None = None
+    line_inlier: jnp.ndarray | None = None  # [KL, LF]
 
 
 def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
@@ -97,19 +117,21 @@ def _edge_terms(prob: BAProblem, T, xyz, intr):
     return p, chi2
 
 
-def _to_dense_grid(prob: BAProblem):
+def _to_dense_grid(prob: BAProblem, col0=0):
     """One-hot permute the [KL, F] observations into [*, KL, PL] planes.
 
     Exact: one-hot entries are 0/1 and each landmark appears at most
     once per keyframe (kf_kp_mp is a feature->landmark function and
     fuse dedups), so the contraction is a permutation, not a sum.
-    Runs ONCE per bundle_adjust call.
+    Runs ONCE per bundle_adjust call. `col0` offsets the landmark column
+    ids — under shard_map each device builds only its landmark shard's
+    columns (edges whose landmark lives elsewhere simply don't match).
     """
     KL, F = prob.edge_mp.shape
     PL = prob.mp_xyz.shape[0]
     base_kf = prob.edge_valid & (prob.edge_mp >= 0) & prob.kf_valid[:, None]
-    mp_lk = jnp.where(base_kf, prob.edge_mp, PL)
-    oh = (mp_lk[:, :, None] == jnp.arange(PL)[None, None, :]).astype(jnp.float32)
+    mp_lk = jnp.where(base_kf, prob.edge_mp, -1)
+    oh = (mp_lk[:, :, None] == (col0 + jnp.arange(PL))[None, None, :]).astype(jnp.float32)
     info_kf = 1.0 / jnp.maximum(prob.obs_sigma2, 1e-12)
     vals = jnp.stack(
         [prob.obs_uv[..., 0], prob.obs_uv[..., 1], info_kf,
@@ -177,16 +199,62 @@ def _jacobian_planes(pp):
     return (Ju, Jv), (Jxu, Jxv)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def bundle_adjust(prob: BAProblem, intr: Intrinsics, cfg: OptimConfig) -> BAResult:
-    """Run the 5 + cut + 10 LM schedule on the local problem."""
+def _lines_to_grid(lines: BALineProblem, col0=0):
+    """One-hot permute the [KL, LF] line observations into [KL, LL]
+    planes (same exactness argument as _to_dense_grid: each map line is
+    observed at most once per keyframe)."""
+    KL, LF = lines.edge_ln.shape
+    LL = lines.ln_start.shape[0]
+    base = lines.edge_valid & (lines.edge_ln >= 0)
+    ln_lk = jnp.where(base, lines.edge_ln, -1)
+    oh = (ln_lk[:, :, None] == (col0 + jnp.arange(LL))[None, None, :]).astype(jnp.float32)
+    info = 1.0 / jnp.maximum(lines.obs_sigma2, 1e-12)
+    vals = jnp.stack(
+        [lines.obs_l[..., 0], lines.obs_l[..., 1], lines.obs_l[..., 2],
+         info, jnp.ones_like(info)], axis=-1)       # [KL, LF, 5]
+    out = jax.lax.dot_general(
+        vals, oh, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).transpose(1, 0, 2)                            # [5, KL, LL]
+    l_g = out[0:3]                                  # [3, KL, LL]
+    info_g = out[3]
+    edge = (out[4] > 0.5) & lines.ln_valid[None, :]
+    return l_g, info_g, edge, base
+
+
+@partial(jax.jit, static_argnames=("cfg", "axis_name"))
+def bundle_adjust(prob: BAProblem, intr: Intrinsics, cfg: OptimConfig,
+                  lines: BALineProblem | None = None,
+                  axis_name: str | None = None) -> BAResult:
+    """Run the 5 + cut + 10 LM schedule on the local problem.
+
+    With `lines`, map-line endpoints join the marginalized landmark set
+    (reference global-BA line edges, Optimizer.cc:436-505; having them in
+    LOCAL BA goes beyond the reference, which never implemented
+    LocalBundleAdjustmentWithLine — Optimizer.h:58).
+
+    With `axis_name` (inside shard_map over a landmark-sharded mesh) the
+    SAME iteration becomes the distributed BA: each device owns a
+    landmark-column shard of the dense grids — landmark blocks and
+    back-substitution stay device-local because ALL observations of a
+    landmark live in its column — and only the camera-side reductions
+    (Hcc/bc, the Schur product, cost) are psum'd over ICI. One engine,
+    one step policy, any mesh size (parallel/dist_ba.py wraps this)."""
     KL, F = prob.edge_mp.shape
     PL = prob.mp_xyz.shape[0]
     dtype = prob.kf_T_cw.dtype
 
-    obs, info, edge_lm, base_kf = _to_dense_grid(prob)
+    def psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    col0 = jax.lax.axis_index(axis_name) * PL if axis_name else 0
+    obs, info, edge_lm, base_kf = _to_dense_grid(prob, col0)
     free_f = (prob.kf_free & prob.kf_valid).astype(dtype)  # [KL]
     eye6 = jnp.eye(6, dtype=dtype)
+    if lines is not None:
+        LL = lines.ln_start.shape[0]
+        lcol0 = jax.lax.axis_index(axis_name) * LL if axis_name else 0
+        l_g, linfo, ledge, lbase = _lines_to_grid(lines, lcol0)
 
     def chi2_planes(T, X, mask):
         pp = _project_planes(T, X, intr)
@@ -195,7 +263,84 @@ def bundle_adjust(prob: BAProblem, intr: Intrinsics, cfg: OptimConfig) -> BAResu
         chi2 = (ru * ru + rv * rv) * info
         return pp, ru, rv, jnp.where(mask, chi2, 0.0)
 
-    def lm_phase(T, X, edge_mask, n_iters, lam0):
+    def line_chi2_planes(T, Xs, Xe, mask):
+        """Per-endpoint signed distances e = l . (u, v, 1) on [KL, LL]."""
+        pps = _project_planes(T, Xs, intr)
+        ppe = _project_planes(T, Xe, intr)
+        e_s = l_g[0] * pps["u"] + l_g[1] * pps["v"] + l_g[2]
+        e_e = l_g[0] * ppe["u"] + l_g[1] * ppe["v"] + l_g[2]
+        c_s = jnp.where(mask, e_s * e_s * linfo, 0.0)
+        c_e = jnp.where(mask, e_e * e_e * linfo, 0.0)
+        return pps, ppe, e_s, e_e, c_s, c_e
+
+    def line_terms(pp):
+        """(Jc [6] planes, Jx [3] planes) for one endpoint set; residual
+        convention matches the point planes (J = d r / d ., r = -e,
+        and the point planes' Ju/Jv are already -d(u,v)/d., so
+        l0*Ju + l1*Jv = d(-e)/d.)."""
+        (Ju, Jv), (Jxu, Jxv) = _jacobian_planes(pp)
+        Jc = [l_g[0] * Ju[i] + l_g[1] * Jv[i] for i in range(6)]
+        Jx = [l_g[0] * Jxu[j] + l_g[1] * Jxv[j] for j in range(3)]
+        return Jc, Jx
+
+    def _plane_inv3(Hpp, lam, freef):
+        """Damped adjugate inverse of symmetric 3x3 blocks held as planes."""
+        ds_ = 1.0 + lam
+        a_, b_, c_ = Hpp[0][0] * ds_ + 1e-6, Hpp[0][1], Hpp[0][2]
+        e_, f_ = Hpp[1][1] * ds_ + 1e-6, Hpp[1][2]
+        i_ = Hpp[2][2] * ds_ + 1e-6
+        co00 = e_ * i_ - f_ * f_
+        co01 = c_ * f_ - b_ * i_
+        co02 = b_ * f_ - c_ * e_
+        co11 = a_ * i_ - c_ * c_
+        co12 = c_ * b_ - a_ * f_
+        co22 = a_ * e_ - b_ * b_
+        det = a_ * co00 + b_ * co01 + c_ * co02
+        idet = freef / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+        return [[co00 * idet, co01 * idet, co02 * idet],
+                [co01 * idet, co11 * idet, co12 * idet],
+                [co02 * idet, co12 * idet, co22 * idet]]
+
+    def _schur_block(A, Hpi, bp, n_cols):
+        """(AHi, S_contribution, b_contribution) for one landmark set."""
+        AHi = jnp.stack([
+            jnp.stack([
+                A[i, 0] * Hpi[0][l][None, :]
+                + A[i, 1] * Hpi[1][l][None, :]
+                + A[i, 2] * Hpi[2][l][None, :]
+                for l in range(3)
+            ]) for i in range(6)
+        ])                                           # [6, 3, KL, n]
+        M1 = AHi.transpose(2, 0, 1, 3).reshape(KL * 6, 3 * n_cols)
+        M2 = A.transpose(2, 0, 1, 3).reshape(KL * 6, 3 * n_cols)
+        S_c = jax.lax.dot_general(
+            M1, M2, (((1,), (1,)), ((), ())),
+            preferred_element_type=dtype,
+        ).reshape(KL, 6, KL, 6)
+        b_c = jnp.stack([
+            jnp.sum(
+                AHi[i, 0] * bp[0][None, :]
+                + AHi[i, 1] * bp[1][None, :]
+                + AHi[i, 2] * bp[2][None, :], axis=1)
+            for i in range(6)
+        ]).T
+        return AHi, S_c, b_c
+
+    def _backsub(A, Hpi, bp, dxc, freef):
+        rhs = [
+            bp[j] - jnp.sum(
+                sum(A[i, j] * dxc[:, i, None] for i in range(6)), axis=0)
+            for j in range(3)
+        ]
+        dxp = jnp.stack([
+            (Hpi[l][0] * rhs[0] + Hpi[l][1] * rhs[1] + Hpi[l][2] * rhs[2])
+            * freef
+            for l in range(3)
+        ])
+        pn = jnp.sqrt(jnp.sum(dxp * dxp, axis=0, keepdims=True))
+        return dxp * jnp.minimum(1.0, 0.5 / jnp.maximum(pn, 1e-9))
+
+    def lm_phase(T, X, Xs, Xe, edge_mask, ln_mask, n_iters, lam0):
         # landmarks need >= 2 edges to be solvable — a sublane reduction
         # now, not a scatter
         cnt = jnp.sum(edge_mask, axis=0)
@@ -204,16 +349,20 @@ def bundle_adjust(prob: BAProblem, intr: Intrinsics, cfg: OptimConfig) -> BAResu
         evf = ev.astype(dtype)                       # [KL, PL]
         ptf = pt_free.astype(dtype)                  # [PL]
         lam = jnp.asarray(lam0, dtype)
+        if lines is not None:
+            lcnt = jnp.sum(ln_mask, axis=0)
+            ln_free = lines.ln_valid & (lcnt >= 2)
+            lev = ln_mask & ln_free[None, :]
+            levf = lev.astype(dtype)                 # [KL, LL]
+            lnf = ln_free.astype(dtype)              # [LL]
 
         def iter_body(state):
-            T, X, _ = state
+            T, X, Xs, Xe, _ = state
             pp, ru, rv, chi2 = chi2_planes(T, X, ev)
             cost = jnp.sum(jnp.minimum(chi2, cfg.chi2_mono * 4) * evf)
             w = huber_weight(chi2, cfg.huber_delta_point) * info * evf
             (Ju, Jv), (Jxu, Jxv) = _jacobian_planes(pp)
-            r_e = (ru, rv)
             Jc = (Ju, Jv)
-            Jx = (Jxu, Jxv)
             wJc = tuple([w * q for q in Je] for Je in Jc)
 
             # camera blocks: lane reductions over PL
@@ -231,7 +380,7 @@ def bundle_adjust(prob: BAProblem, intr: Intrinsics, cfg: OptimConfig) -> BAResu
 
             # landmark blocks: sublane reductions over KL (each landmark
             # has at most one edge per camera — no segment sums)
-            wJx = tuple([w * q for q in Je] for Je in Jx)
+            wJx = ([w * q for q in Jxu], [w * q for q in Jxv])
             Hpp = [[
                 jnp.sum(wJx[0][i] * Jxu[j] + wJx[1][i] * Jxv[j], axis=0)
                 for j in range(3)] for i in range(3)
@@ -249,53 +398,62 @@ def bundle_adjust(prob: BAProblem, intr: Intrinsics, cfg: OptimConfig) -> BAResu
                 ]) for i in range(6)
             ])                                       # [6, 3, KL, PL]
 
-            # damp + invert point blocks (adjugate on [PL] planes)
-            ds_ = 1.0 + lam
-            a_, b_, c_ = Hpp[0][0] * ds_ + 1e-6, Hpp[0][1], Hpp[0][2]
-            e_, f_ = Hpp[1][1] * ds_ + 1e-6, Hpp[1][2]
-            i_ = Hpp[2][2] * ds_ + 1e-6
-            co00 = e_ * i_ - f_ * f_
-            co01 = c_ * f_ - b_ * i_
-            co02 = b_ * f_ - c_ * e_
-            co11 = a_ * i_ - c_ * c_
-            co12 = c_ * b_ - a_ * f_
-            co22 = a_ * e_ - b_ * b_
-            det = a_ * co00 + b_ * co01 + c_ * co02
-            idet = ptf / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
-            Hpi = [[co00 * idet, co01 * idet, co02 * idet],
-                   [co01 * idet, co11 * idet, co12 * idet],
-                   [co02 * idet, co12 * idet, co22 * idet]]  # sym [3][3] of [PL]
+            Hpi = _plane_inv3(Hpp, lam, ptf)
+            AHi, S_pt, b_pt = _schur_block(A, Hpi, bp, PL)
 
-            # AHi[i][l] = sum_j A[i, j] Hpi[j][l]  (broadcast over KL)
-            AHi = jnp.stack([
-                jnp.stack([
-                    A[i, 0] * Hpi[0][l][None, :]
-                    + A[i, 1] * Hpi[1][l][None, :]
-                    + A[i, 2] * Hpi[2][l][None, :]
-                    for l in range(3)
-                ]) for i in range(6)
-            ])                                       # [6, 3, KL, PL]
+            # ---- line endpoint blocks (two 1-row landmark sets) ----
+            if lines is not None:
+                pps, ppe, e_s, e_e, c_s, c_e = line_chi2_planes(T, Xs, Xe, lev)
+                cost = cost + jnp.sum(jnp.minimum(c_s + c_e, cfg.chi2_line * 8) * levf)
+                w_s = huber_weight(c_s, cfg.huber_delta_line) * linfo * levf
+                w_e = huber_weight(c_e, cfg.huber_delta_line) * linfo * levf
+                Jc_s, Jx_s = line_terms(pps)
+                Jc_e, Jx_e = line_terms(ppe)
+                r_s, r_e = -e_s, -e_e                # residual = 0 - e
 
-            # Schur: S[(k,i), (m,j)] = Hcc_blockdiag - sum_{l,p} AHi A^T —
-            # one MXU contraction of two [6KL, 3PL] factors (A·B^T form so
-            # neither needs a lane-unfriendly transpose)
-            M1 = AHi.transpose(2, 0, 1, 3).reshape(KL * 6, 3 * PL)
-            M2 = A.transpose(2, 0, 1, 3).reshape(KL * 6, 3 * PL)
-            S = -jax.lax.dot_general(
-                M1, M2, (((1,), (1,)), ((), ())),
-                preferred_element_type=dtype,
-            ).reshape(KL, 6, KL, 6)
+                def one_endpoint(Jc_l, Jx_l, w_l, r_l):
+                    wJc_l = [w_l * q for q in Jc_l]
+                    Hcc_l = jnp.stack([
+                        jnp.stack([
+                            jnp.sum(wJc_l[i] * Jc_l[j], axis=1)
+                            for j in range(6)
+                        ]) for i in range(6)
+                    ]).transpose(2, 0, 1)
+                    bc_l = -jnp.stack([
+                        jnp.sum(wJc_l[i] * r_l, axis=1) for i in range(6)
+                    ]).T
+                    wJx_l = [w_l * q for q in Jx_l]
+                    Hpp_l = [[jnp.sum(wJx_l[i] * Jx_l[j], axis=0)
+                              for j in range(3)] for i in range(3)]
+                    bp_l = [-jnp.sum(wJx_l[i] * r_l, axis=0) for i in range(3)]
+                    A_l = jnp.stack([
+                        jnp.stack([wJc_l[i] * Jx_l[j] for j in range(3)])
+                        for i in range(6)
+                    ])
+                    Hpi_l = _plane_inv3(Hpp_l, lam, lnf)
+                    AHi_l, S_l, b_l = _schur_block(A_l, Hpi_l, bp_l, LL)
+                    return Hcc_l, bc_l, A_l, Hpi_l, bp_l, S_l, b_l
+
+                out_s = one_endpoint(Jc_s, Jx_s, w_s, r_s)
+                out_e = one_endpoint(Jc_e, Jx_e, w_e, r_e)
+                Hcc = Hcc + out_s[0] + out_e[0]
+                bc = bc + out_s[1] + out_e[1]
+
+            # Schur: S = blockdiag(Hcc) - sum_blocks AHi A^T; under a mesh
+            # the per-shard partials reduce over ICI here (the only
+            # collectives in the solve)
+            S = -S_pt
+            b_red = bc - b_pt
+            if lines is not None:
+                S = S - out_s[5] - out_e[5]
+                b_red = b_red - out_s[6] - out_e[6]
+            S = psum(S)
+            b_red = psum(b_red)
+            Hcc = psum(Hcc)
+            cost = psum(cost)
             S_diag = Hcc * (1.0 + lam * eye6)
             kk = jnp.arange(KL)
             S = S.at[kk, :, kk, :].add(S_diag)
-            # b_red[k, i] = bc - sum_{l,p} AHi[i, l, k, p] bp[l][p]
-            b_red = bc - jnp.stack([
-                jnp.sum(
-                    AHi[i, 0] * bp[0][None, :]
-                    + AHi[i, 1] * bp[1][None, :]
-                    + AHi[i, 2] * bp[2][None, :], axis=1)
-                for i in range(6)
-            ]).T
 
             # mask fixed cameras: identity rows/cols
             fm = free_f
@@ -306,31 +464,23 @@ def bundle_adjust(prob: BAProblem, intr: Intrinsics, cfg: OptimConfig) -> BAResu
             dxc = jnp.linalg.solve(Sd + 1e-6 * jnp.eye(KL * 6, dtype=dtype),
                                    b_m.reshape(-1))
             dxc = dxc.reshape(KL, 6) * fm[:, None]
-            # back-substitute landmarks:
-            # rhs[j][p] = bp[j] - sum_{k,i} A[i, j, k, p] dxc[k, i]
-            rhs = [
-                bp[j] - jnp.sum(
-                    sum(A[i, j] * dxc[:, i, None] for i in range(6)), axis=0)
-                for j in range(3)
-            ]
-            dxp = jnp.stack([
-                (Hpi[l][0] * rhs[0] + Hpi[l][1] * rhs[1] + Hpi[l][2] * rhs[2])
-                * ptf
-                for l in range(3)
-            ])                                       # [3, PL]
-
             # one fused pass per iteration: damped GN with step clips instead
             # of accept/reject re-evaluation (the two extra edge passes per
             # iteration were ~2/3 of BA cost; Huber IRLS + the chi2 cut
             # between phases provide the robustness)
             cn = jnp.linalg.norm(dxc, axis=1, keepdims=True)
-            dxc = dxc * jnp.minimum(1.0, 0.5 / jnp.maximum(cn, 1e-9))
-            pn = jnp.sqrt(jnp.sum(dxp * dxp, axis=0, keepdims=True))
-            dxp = dxp * jnp.minimum(1.0, 0.5 / jnp.maximum(pn, 1e-9))
-            T_new = jax.vmap(lambda dk, Tk: lie.se3_exp(dk) @ Tk)(dxc, T)
-            return T_new, X + dxp, cost
+            dxc_c = dxc * jnp.minimum(1.0, 0.5 / jnp.maximum(cn, 1e-9))
+            # back-substitute landmarks (points + line endpoints)
+            dxp = _backsub(A, Hpi, bp, dxc, ptf)
+            if lines is not None:
+                dxs = _backsub(out_s[2], out_s[3], out_s[4], dxc, lnf)
+                dxe = _backsub(out_e[2], out_e[3], out_e[4], dxc, lnf)
+                Xs = Xs + dxs
+                Xe = Xe + dxe
+            T_new = jax.vmap(lambda dk, Tk: lie.se3_exp(dk) @ Tk)(dxc_c, T)
+            return T_new, X + dxp, Xs, Xe, cost
 
-        state = (T, X, jnp.asarray(0.0, dtype))
+        state = (T, X, Xs, Xe, jnp.asarray(0.0, dtype))
         for _ in range(n_iters):   # unrolled: bodies are us-scale op chains
             state = iter_body(state)
         return state
@@ -338,24 +488,55 @@ def bundle_adjust(prob: BAProblem, intr: Intrinsics, cfg: OptimConfig) -> BAResu
     # phase 1: all edges
     T0 = prob.kf_T_cw
     X0 = prob.mp_xyz.T                              # [3, PL]
-    T1, X1, _ = lm_phase(T0, X0, edge_lm, cfg.local_ba_iters_first,
-                         cfg.lm_lambda_init)
+    if lines is not None:
+        Xs0 = lines.ln_start.T                      # [3, LL]
+        Xe0 = lines.ln_end.T
+        ln_edge = ledge
+    else:
+        Xs0 = Xe0 = ln_edge = None
+    T1, X1, Xs1, Xe1, _ = lm_phase(T0, X0, Xs0, Xe0, edge_lm, ln_edge,
+                                   cfg.local_ba_iters_first,
+                                   cfg.lm_lambda_init)
     # chi2 cut (Optimizer.cc:1487-1517): drop edges with chi2 > 5.991 or
     # bad depth — still on [KL, PL] planes
     pp, _, _, chi2 = chi2_planes(T1, X1, edge_lm)
     keep = edge_lm & (chi2 <= cfg.chi2_mono) & (pp["z"] > 0)
+    keep_ln = ln_edge
+    if lines is not None:
+        pps, ppe, _, _, c_s, c_e = line_chi2_planes(T1, Xs1, Xe1, ln_edge)
+        keep_ln = ln_edge & (c_s + c_e <= 2.0 * cfg.chi2_line) \
+            & (pps["z"] > 0) & (ppe["z"] > 0)
     # phase 2
-    T2, X2, cost = lm_phase(T1, X1, keep, cfg.local_ba_iters_second,
-                            cfg.lm_lambda_init)
+    T2, X2, Xs2, Xe2, cost = lm_phase(T1, X1, Xs1, Xe1, keep, keep_ln,
+                                      cfg.local_ba_iters_second,
+                                      cfg.lm_lambda_init)
     # final classification, delivered in the caller's [KL, F] layout via
-    # one small gather from the [KL, PL] inlier grid
+    # one small gather from the [KL, PL] inlier grid; under a mesh each
+    # edge is owned by exactly one shard, so an integer psum rebuilds the
+    # full classification on every device
     pp, _, _, chi2 = chi2_planes(T2, X2, edge_lm)
     inlier_lm = edge_lm & (chi2 <= cfg.chi2_mono) & (pp["z"] > 0)
     flat = inlier_lm.reshape(-1)                    # [(KL, PL)] row-major
-    mp_safe = jnp.clip(prob.edge_mp, 0, PL - 1)
-    idx = jnp.arange(KL, dtype=jnp.int32)[:, None] * PL + mp_safe
-    inlier = base_kf & flat[idx]
-    return BAResult(kf_T_cw=T2, mp_xyz=X2.T, edge_inlier=inlier, cost=cost)
+    rel = prob.edge_mp - col0
+    owned = (rel >= 0) & (rel < PL)
+    idx = jnp.arange(KL, dtype=jnp.int32)[:, None] * PL + jnp.clip(rel, 0, PL - 1)
+    inlier = base_kf & owned & flat[idx]
+    if axis_name:
+        inlier = psum(inlier.astype(jnp.int32)) > 0
+    if lines is None:
+        return BAResult(kf_T_cw=T2, mp_xyz=X2.T, edge_inlier=inlier, cost=cost)
+    pps, ppe, _, _, c_s, c_e = line_chi2_planes(T2, Xs2, Xe2, ln_edge)
+    inl_ln = ln_edge & (c_s + c_e <= 2.0 * cfg.chi2_line) \
+        & (pps["z"] > 0) & (ppe["z"] > 0)
+    lflat = inl_ln.reshape(-1)
+    lrel = lines.edge_ln - lcol0
+    lowned = (lrel >= 0) & (lrel < LL)
+    lidx = jnp.arange(KL, dtype=jnp.int32)[:, None] * LL + jnp.clip(lrel, 0, LL - 1)
+    line_inlier = lbase & lowned & lflat[lidx]
+    if axis_name:
+        line_inlier = psum(line_inlier.astype(jnp.int32)) > 0
+    return BAResult(kf_T_cw=T2, mp_xyz=X2.T, edge_inlier=inlier, cost=cost,
+                    ln_start=Xs2.T, ln_end=Xe2.T, line_inlier=line_inlier)
 
 
-__all__ = ["BAProblem", "BAResult", "bundle_adjust"]
+__all__ = ["BAProblem", "BALineProblem", "BAResult", "bundle_adjust"]

@@ -121,4 +121,125 @@ def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20) -> jnp.ndarra
     return S_out
 
 
-__all__ = ["PoseGraphProblem", "optimize_pose_graph"]
+class Sim3PairResult(NamedTuple):
+    S12: jnp.ndarray        # [4, 4] refined Sim3 (frame-2 coords -> frame-1)
+    inliers: jnp.ndarray    # [N] both-edge chi2 <= threshold
+    n_inliers: jnp.ndarray  # scalar int32
+
+
+@partial(jax.jit, static_argnames=("fix_scale",))
+def optimize_sim3_pair(
+    S12: jnp.ndarray,       # [4, 4] initial Sim3 (e.g. Horn RANSAC output)
+    X1: jnp.ndarray,        # [N, 3] matched landmarks in camera-1 coords
+    X2: jnp.ndarray,        # [N, 3] same landmarks in camera-2 coords
+    uv1: jnp.ndarray,       # [N, 2] observed keypoints in image 1
+    uv2: jnp.ndarray,       # [N, 2] observed keypoints in image 2
+    valid: jnp.ndarray,     # [N]
+    sigma2_1: jnp.ndarray,  # [N] octave variance in image 1
+    sigma2_2: jnp.ndarray,  # [N]
+    fx: float, fy: float, cx: float, cy: float,
+    chi2_th: float = 10.0,
+    fix_scale: bool = False,
+) -> Sim3PairResult:
+    """Inlier-gated Sim3 refinement between two keyframes — the
+    reference's Optimizer::OptimizeSim3 (src/Optimizer.cc:1864-2062):
+    each match contributes an EdgeSim3ProjectXYZ (point 2 through S12
+    into image 1) and an EdgeInverseSim3ProjectXYZ (point 1 through
+    S12^-1 into image 2); 5 LM iterations, drop pairs with either edge
+    chi2 > 10 (Optimizer.cc:1980-2010), then 10 more on the survivors.
+
+    Batched: residuals/Jacobians for all N pairs at once; the normal
+    system is a single 7x7 solve per iteration (the g2o graph had one
+    vertex)."""
+    dtype = S12.dtype
+    N = X1.shape[0]
+    z7 = jnp.zeros(7, dtype)
+    s_init = jnp.linalg.norm(S12[0, :3])
+
+    def edge_residuals(xi, S):
+        S_ = lie.sim3_exp(xi) @ S
+        Si = lie.sim3_inverse(S_)
+        p1 = X2 @ S_[:3, :3].T + S_[:3, 3]          # [N, 3] in cam 1
+        p2 = X1 @ Si[:3, :3].T + Si[:3, 3]          # [N, 3] in cam 2
+
+        def proj(p):
+            z = jnp.where(jnp.abs(p[:, 2]) < 1e-9, 1e-9, p[:, 2])
+            return jnp.stack([p[:, 0] / z * fx + cx, p[:, 1] / z * fy + cy], -1)
+
+        e1 = uv1 - proj(p1)                          # [N, 2]
+        e2 = uv2 - proj(p2)
+        return jnp.concatenate([e1, e2], axis=-1)    # [N, 4]
+
+    info = jnp.stack([1.0 / jnp.maximum(sigma2_1, 1e-12)] * 2
+                     + [1.0 / jnp.maximum(sigma2_2, 1e-12)] * 2, axis=-1)  # [N, 4]
+    delta = jnp.asarray(jnp.sqrt(chi2_th), dtype)
+
+    def chi2_pair(r):
+        c1 = (r[:, 0] ** 2 + r[:, 1] ** 2) / jnp.maximum(sigma2_1, 1e-12)
+        c2 = (r[:, 2] ** 2 + r[:, 3] ** 2) / jnp.maximum(sigma2_2, 1e-12)
+        return c1, c2
+
+    def lm_iters(S, mask, n):
+        maskf = mask.astype(dtype)
+
+        def huber_cost(S):
+            r = edge_residuals(z7, S)
+            c1, c2 = chi2_pair(r)
+
+            def rho(c):  # Huber-composed chi2
+                return jnp.where(c > chi2_th,
+                                 2.0 * delta * jnp.sqrt(jnp.maximum(c, 1e-12))
+                                 - chi2_th, c)
+
+            return jnp.sum((rho(c1) + rho(c2)) * maskf)
+
+        def body(carry, _):
+            S, lam = carry
+            r = edge_residuals(z7, S)
+            J = jax.jacfwd(edge_residuals)(z7, S)    # [N, 4, 7]
+            c1, c2 = chi2_pair(r)
+            # Huber IRLS weight per edge (Optimizer.cc:1907-1911 uses
+            # delta = sqrt(10))
+            w1 = jnp.where(c1 > chi2_th, delta / jnp.sqrt(jnp.maximum(c1, 1e-12)), 1.0)
+            w2 = jnp.where(c2 > chi2_th, delta / jnp.sqrt(jnp.maximum(c2, 1e-12)), 1.0)
+            w = jnp.stack([w1, w1, w2, w2], -1) * info * maskf[:, None]  # [N, 4]
+            H = jnp.einsum("nri,nr,nrj->ij", J, w, J)
+            b = -jnp.einsum("nri,nr,nr->i", J, w, r)
+            # scale anchor on the 3D-3D (Horn) initializer: the inverse
+            # projection edge is exactly scale-invariant and the forward
+            # edge only sees t/s, so projective scale observability can
+            # collapse (coincident cameras) — the Horn scale from inlier
+            # 3D distances is the well-conditioned estimate. A strong
+            # prior keeps s near it unless reprojection strongly disagrees.
+            s_cur = jnp.linalg.norm(S[0, :3])
+            w_s = jnp.asarray(1e3, dtype)
+            H = H.at[6, 6].add(w_s)
+            b = b.at[6].add(-w_s * jnp.log(jnp.maximum(s_cur / s_init, 1e-12)))
+            if fix_scale:
+                H = H.at[6, 6].add(1e12)             # freeze the scale dof
+            damp = lam * (jnp.diag(jnp.diag(H)) + 1e-3 * jnp.eye(7, dtype=dtype))
+            dx = jnp.linalg.solve(H + damp, b)
+            S_new = lie.sim3_exp(dx) @ S
+            accept = huber_cost(S_new) < huber_cost(S)
+            S = jnp.where(accept, S_new, S)
+            lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 8.0), 1e-8, 1e8)
+            return (S, lam), None
+
+        (S, _), _ = jax.lax.scan(body, (S, jnp.asarray(1e-3, dtype)), None, length=n)
+        return S
+
+    S_a = lm_iters(S12, valid, 5)
+    r = edge_residuals(z7, S_a)
+    c1, c2 = chi2_pair(r)
+    keep = valid & (c1 <= chi2_th) & (c2 <= chi2_th)
+    S_b = lm_iters(S_a, keep, 10)
+    r = edge_residuals(z7, S_b)
+    c1, c2 = chi2_pair(r)
+    inl = valid & (c1 <= chi2_th) & (c2 <= chi2_th)
+    return Sim3PairResult(
+        S12=S_b, inliers=inl, n_inliers=jnp.sum(inl).astype(jnp.int32)
+    )
+
+
+__all__ = ["PoseGraphProblem", "optimize_pose_graph", "Sim3PairResult",
+           "optimize_sim3_pair"]

@@ -194,7 +194,46 @@ def covisibility_weights(state: MapState, kf_id: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(state.kf_valid, w, 0)
 
 
+@jax.jit
+def covisibility_matrix(state: MapState) -> jnp.ndarray:
+    """[K, K] shared-landmark counts (points + lines) between every pair
+    of keyframes — the full covisibility graph (KeyFrame::UpdateConnections
+    for all keyframes at once, KeyFrame.cc:301-415). One [K, P] indicator
+    matmul on the MXU; used by loop correction to build the essential
+    graph (spanning tree + strong edges, Optimizer.cc:1650-1762)."""
+    K, F = state.kf_kp_mp.shape
+    P = state.mp_valid.shape[0]
+    L = state.ml_valid.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(K)[:, None], (K, F))
+    Mp = jnp.zeros((K, P + 1), jnp.float32).at[
+        rows, jnp.where(state.kf_kp_mp >= 0, state.kf_kp_mp, P)
+    ].set(1.0)[:, :P]
+    C = Mp @ Mp.T
+    LFn = state.kf_line_ml.shape[1]
+    lrows = jnp.broadcast_to(jnp.arange(K)[:, None], (K, LFn))
+    Ml = jnp.zeros((K, L + 1), jnp.float32).at[
+        lrows, jnp.where(state.kf_line_ml >= 0, state.kf_line_ml, L)
+    ].set(1.0)[:, :L]
+    C = C + Ml @ Ml.T
+    C = C * (state.kf_valid[:, None] & state.kf_valid[None, :])
+    return (C - jnp.diag(jnp.diag(C))).astype(jnp.int32)
+
+
+@jax.jit
+def kf_match_votes(state: MapState, matched_pt: jnp.ndarray) -> jnp.ndarray:
+    """[K] per-keyframe count of map points in `matched_pt` ([P] bool) it
+    observes — the keyframe voting step of Tracking::UpdateLocalKeyFrames
+    (reference src/Tracking.cc:1787-1825: every map point matched in the
+    current frame votes for all keyframes observing it)."""
+    P = state.mp_valid.shape[0]
+    e = state.kf_kp_mp
+    has = (e >= 0) & matched_pt[jnp.clip(e, 0, P - 1)]
+    v = has.sum(axis=1).astype(jnp.int32)
+    return jnp.where(state.kf_valid, v, 0)
+
+
 __all__ = [
     "MapState", "MapCursors", "DESC_RING", "init_map", "point_obs_counts",
-    "line_obs_counts", "covisibility_weights",
+    "line_obs_counts", "covisibility_weights", "covisibility_matrix",
+    "kf_match_votes",
 ]

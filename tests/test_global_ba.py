@@ -29,6 +29,13 @@ def mean_reproj_err(state, n_kf):
 class TestGlobalBA:
     def test_reduces_reprojection_error_on_drifted_map(self):
         state, n_kf, _ = build_loop_map(drift_mag=0.02)
+        # the builder's map is internally consistent (observations are
+        # projections of the estimated geometry), so perturb landmarks to
+        # give GBA residuals to fix
+        g = np.random.default_rng(0)
+        xyz = np.asarray(state.mp_xyz)
+        state = state._replace(mp_xyz=jnp.asarray(
+            xyz + g.normal(0, 0.03, xyz.shape).astype(np.float32)))
         before = mean_reproj_err(state, n_kf)
         out = global_ba.global_bundle_adjust(state, n_kf, INTR, CFG)
         after = mean_reproj_err(out, n_kf)

@@ -118,3 +118,102 @@ class TestLocalBA:
             m = inl[k]
             errs.append((e[m] ** 2).sum(1))
         assert np.sqrt(np.concatenate(errs).mean()) < 1.0
+
+
+def build_lines(T_gt, seed=7, n_ln=40, noise_coef=0.0, ep_pert=0.12):
+    """GT 3D segments + per-KF observed infinite-line coefficients."""
+    g = np.random.default_rng(seed)
+    n_kf = T_gt.shape[0]
+    S_gt = np.stack([g.uniform(-3, 3, n_ln), g.uniform(-2, 2, n_ln),
+                     g.uniform(4, 9, n_ln)], 1).astype(np.float32)
+    d = g.normal(size=(n_ln, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    E_gt = S_gt + d * g.uniform(1.0, 2.5, (n_ln, 1)).astype(np.float32)
+
+    obs_l = np.zeros((n_kf, n_ln, 3), np.float32)
+    edge_valid = np.zeros((n_kf, n_ln), bool)
+    for k in range(n_kf):
+        def proj(P):
+            pc = P @ T_gt[k, :3, :3].T + T_gt[k, :3, 3]
+            return (pc[:, 0] / pc[:, 2] * CAM.fx + CAM.cx,
+                    pc[:, 1] / pc[:, 2] * CAM.fy + CAM.cy, pc[:, 2])
+        us, vs, zs = proj(S_gt)
+        ue, ve, ze = proj(E_gt)
+        sp = np.stack([us, vs, np.ones(n_ln)], 1)
+        ep = np.stack([ue, ve, np.ones(n_ln)], 1)
+        l = np.cross(sp, ep)
+        l /= np.maximum(np.hypot(l[:, 0], l[:, 1]), 1e-9)[:, None]
+        obs_l[k] = l
+        edge_valid[k] = (zs > 0.5) & (ze > 0.5)
+
+    S_init = S_gt + g.normal(0, ep_pert, S_gt.shape).astype(np.float32)
+    E_init = E_gt + g.normal(0, ep_pert, E_gt.shape).astype(np.float32)
+    lines = local_ba.BALineProblem(
+        ln_start=jnp.asarray(S_init),
+        ln_end=jnp.asarray(E_init),
+        ln_valid=jnp.ones(n_ln, bool),
+        obs_l=jnp.asarray(obs_l),
+        obs_sigma2=jnp.ones((n_kf, n_ln), jnp.float32),
+        edge_ln=jnp.tile(jnp.arange(n_ln, dtype=jnp.int32), (n_kf, 1)),
+        edge_valid=jnp.asarray(edge_valid),
+    )
+    return lines, S_gt, E_gt, S_init, E_init
+
+
+def perp_dist(P, S, E):
+    """Perpendicular distance of points P to the GT infinite lines (S, E).
+    The residual only constrains endpoints transverse to the line —
+    position ALONG it is gauge — so this is the right error metric."""
+    u = E - S
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    rel = P - S
+    t = (rel * u).sum(1, keepdims=True)
+    return np.linalg.norm(rel - t * u, axis=1)
+
+
+class TestLineBA:
+    def test_line_edges_reduce_line_error(self):
+        """Map-line endpoints join the Schur system (reference global-BA
+        line edges, Optimizer.cc:436-505) and converge back onto the
+        observed lines."""
+        prob, T_gt, pts_gt = build_problem(noise=0.2)
+        lines, S_gt, E_gt, S_init, E_init = build_lines(T_gt)
+        out = local_ba.bundle_adjust(prob, INTR, CFG, lines=lines)
+        e0 = np.concatenate([perp_dist(S_init, S_gt, E_gt),
+                             perp_dist(E_init, S_gt, E_gt)])
+        e1 = np.concatenate([perp_dist(np.asarray(out.ln_start), S_gt, E_gt),
+                             perp_dist(np.asarray(out.ln_end), S_gt, E_gt)])
+        assert e1.mean() < 0.15 * e0.mean(), (e0.mean(), e1.mean())
+        assert np.asarray(out.line_inlier).sum() > 0.9 * np.asarray(
+            lines.edge_valid).sum()
+        # poses still converge with the line blocks present
+        rmse = reproj_rmse(out.kf_T_cw, out.mp_xyz, prob)
+        assert rmse < 0.6
+
+    def test_line_outliers_gated(self):
+        """Corrupted line observations are cut by the per-line 2x chi2
+        gate between phases and excluded from the final inlier set."""
+        prob, T_gt, pts_gt = build_problem(noise=0.2)
+        lines, S_gt, E_gt, S_init, E_init = build_lines(T_gt)
+        g = np.random.default_rng(11)
+        obs = np.asarray(lines.obs_l).copy()
+        # rotate the first 8 lines' observed coefficients badly in one KF...
+        # in ALL KFs so they cannot be satisfied
+        bad = np.arange(8)
+        rot = g.normal(0, 0.4, (obs.shape[0], 8, 3)).astype(np.float32)
+        obs[:, bad] += rot
+        obs[..., :2] /= np.maximum(
+            np.hypot(obs[..., 0], obs[..., 1]), 1e-9)[..., None]
+        obs[..., 2] = np.asarray(lines.obs_l)[..., 2] + g.normal(
+            0, 40.0, obs[..., 2].shape)
+        lines2 = lines._replace(obs_l=jnp.asarray(obs.astype(np.float32)))
+        # restore the good columns
+        obs_good = np.asarray(lines.obs_l)
+        obs_mix = obs.copy()
+        obs_mix[:, 8:] = obs_good[:, 8:]
+        lines2 = lines._replace(obs_l=jnp.asarray(obs_mix.astype(np.float32)))
+        out = local_ba.bundle_adjust(prob, INTR, CFG, lines=lines2)
+        inl = np.asarray(out.line_inlier)
+        ev = np.asarray(lines.edge_valid)
+        assert inl[:, :8][ev[:, :8]].mean() < 0.3
+        assert inl[:, 8:][ev[:, 8:]].mean() > 0.8

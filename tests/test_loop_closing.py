@@ -122,8 +122,12 @@ def build_loop_map(drift_mag=0.02, n_kf=24, n_pts=800, seed=0):
                    .at[n_pts : 2 * n_pts].set(n_kf - 1),
     )
 
-    # keyframe feature snapshots: project GT geometry with GT poses (the
-    # observations are what the camera actually saw)
+    # keyframe feature snapshots: project the ESTIMATED geometry with the
+    # ESTIMATED poses — a real drifted map is internally consistent
+    # (local BA keeps observation residuals ~0; the drift lives in poses
+    # and points TOGETHER). The loop signal is purely 3D: the same
+    # physical point exists twice (original + clone) at drift-separated
+    # estimated positions. Visibility is still decided from GT geometry.
     kf_T = np.array(st.kf_T_cw)
     kf_T[:n_kf] = T_est
     kf_xy = np.zeros((K, F, 2), np.float32)
@@ -131,13 +135,17 @@ def build_loop_map(drift_mag=0.02, n_kf=24, n_pts=800, seed=0):
     kf_kp_valid = np.zeros((K, F), bool)
     kf_kp_mp = np.full((K, F), -1, np.int32)
     for k in range(n_kf):
-        pc = pts_gt @ T_gt[k][:3, :3].T + T_gt[k][:3, 3]
-        u = pc[:, 0] / np.maximum(pc[:, 2], 1e-6) * CAM.fx + CAM.cx
-        v = pc[:, 1] / np.maximum(pc[:, 2], 1e-6) * CAM.fy + CAM.cy
-        vis = (pc[:, 2] > 1.0) & (u > 10) & (u < 630) & (v > 10) & (v < 470)
+        pc_gt = pts_gt @ T_gt[k][:3, :3].T + T_gt[k][:3, 3]
+        u_gt = pc_gt[:, 0] / np.maximum(pc_gt[:, 2], 1e-6) * CAM.fx + CAM.cx
+        v_gt = pc_gt[:, 1] / np.maximum(pc_gt[:, 2], 1e-6) * CAM.fy + CAM.cy
+        vis = (pc_gt[:, 2] > 1.0) & (u_gt > 10) & (u_gt < 630) & (v_gt > 10) & (v_gt < 470)
         ids = np.nonzero(vis)[0][:F]
         n = len(ids)
-        kf_xy[k, :n] = np.stack([u[ids], v[ids]], 1)
+        bound = pts_est[ids] if k < n_kf // 2 else pts_clone[ids]
+        pc = bound @ T_est[k][:3, :3].T + T_est[k][:3, 3]
+        u = pc[:, 0] / np.maximum(pc[:, 2], 1e-6) * CAM.fx + CAM.cx
+        v = pc[:, 1] / np.maximum(pc[:, 2], 1e-6) * CAM.fy + CAM.cy
+        kf_xy[k, :n] = np.stack([u, v], 1)
         kf_desc[k, :n] = descs[ids]
         kf_kp_valid[k, :n] = True
         # second half of the trajectory observes the cloned landmark ids
@@ -209,3 +217,124 @@ class TestLoopClosing:
         for k in (11, 12, 13):
             cands = lc.detect(state, n_kf, k)
         assert not cands
+
+    def test_correct_fuses_duplicate_landmarks(self):
+        """SearchAndFuse (reference LoopClosing.cc:525-547): after the
+        correction aligns both sides of the loop, the cloned landmarks the
+        revisit created must merge into the originals."""
+        state, n_kf, T_gt = build_loop_map()
+        lc = LoopCloser(CFG, INTR)
+        lc.consistency_th = 2
+        for k in (21, 22, 23):
+            cands = lc.detect(state, n_kf, k)
+        best = max(cands, key=lambda c: c.score)
+        out = lc.verify(state, 23, best.kf_id)
+        assert out is not None
+        S, _ = out
+        n_valid_before = int(np.asarray(state.mp_valid).sum())
+        state2 = lc.correct(state, n_kf, 23, best.kf_id, S)
+        n_valid_after = int(np.asarray(state2.mp_valid).sum())
+        assert n_valid_after < n_valid_before - 20, (n_valid_before, n_valid_after)
+        # fused bindings in the loop-closing keyframe now point at ORIGINAL
+        # landmark ids (< n_pts), and each row stays a 1:1 landmark map
+        mp23 = np.asarray(state2.kf_kp_mp[23])
+        n_pts = 800
+        bound = mp23[mp23 >= 0]
+        assert (bound < n_pts).sum() > 20, "no bindings redirected to originals"
+        assert len(np.unique(bound)) == len(bound), "duplicate landmark in row"
+        # persisted loop edge recorded for future essential-graph solves
+        assert len(lc.loop_edges) == 1 and lc.n_corrections == 1
+
+    def test_second_correction_keeps_first_loop_edge(self):
+        """Two sequential corrections: the second essential-graph solve
+        must include the first loop's persisted edge
+        (Optimizer.cc:1683-1710, KeyFrame::GetLoopEdges)."""
+        state, n_kf, T_gt = build_loop_map()
+        lc = LoopCloser(CFG, INTR)
+        lc.consistency_th = 2
+        for k in (21, 22, 23):
+            cands = lc.detect(state, n_kf, k)
+        best = max(cands, key=lambda c: c.score)
+        S, _ = lc.verify(state, 23, best.kf_id)
+        state2 = lc.correct(state, n_kf, 23, best.kf_id, S)
+        # second closure at KF 22 against a neighboring early KF: feed the
+        # (already corrected) relative pose as the verified Sim3
+        cand2 = min(best.kf_id + 1, 4)
+        T22 = np.asarray(state2.kf_T_cw[22])
+        Tc2 = np.asarray(state2.kf_T_cw[cand2])
+        S2 = (T22 @ np.linalg.inv(Tc2)).astype(np.float32)
+        state3 = lc.correct(state2, n_kf, 22, cand2, S2)
+        assert len(lc.loop_edges) == 2
+        # both constraints hold in the final graph: relative poses along
+        # each loop edge match their measurements
+        for (a, b, S_ab), tol in zip(lc.loop_edges, (0.08, 0.08)):
+            Ta = np.asarray(state3.kf_T_cw[a])
+            Tb = np.asarray(state3.kf_T_cw[b])
+            rel = Tb @ np.linalg.inv(Ta)
+            S_se3 = S_ab.copy()
+            s = np.linalg.norm(S_ab[0, :3])
+            S_se3[:3, :3] /= s
+            d = np.asarray(lie.se3_log(jnp.asarray(
+                (rel @ np.linalg.inv(S_se3)).astype(np.float32))))
+            assert np.abs(d).max() < tol, (a, b, d)
+
+
+class TestOptimizeSim3Pair:
+    def test_refines_and_gates_outliers(self):
+        """optimize_sim3_pair recovers a known Sim3 from projections and
+        rejects planted wrong matches — a case a single un-gated Horn
+        refit cannot handle (Horn averages the outliers in)."""
+        from structure_slam_pointline_tpu.optim.pose_graph import optimize_sim3_pair
+        from structure_slam_pointline_tpu.optim.sim3_solver import horn_sim3
+        from structure_slam_pointline_tpu.utils import lie as _lie
+
+        g = np.random.default_rng(4)
+        N = 120
+        X2 = np.stack([g.uniform(-2, 2, N), g.uniform(-1.5, 1.5, N),
+                       g.uniform(3, 8, N)], 1).astype(np.float32)
+        xi = np.array([0.03, -0.05, 0.02, 0.2, -0.1, 0.15, np.log(1.12)],
+                      np.float32)
+        S_true = np.asarray(_lie.sim3_exp(jnp.asarray(xi)))
+        X1 = X2 @ S_true[:3, :3].T + S_true[:3, 3]
+
+        def proj(p):
+            z = p[:, 2]
+            return np.stack([p[:, 0] / z * INTR.fx + INTR.cx,
+                             p[:, 1] / z * INTR.fy + INTR.cy], -1)
+
+        uv1 = proj(X1).astype(np.float32)
+        uv2 = proj(X2).astype(np.float32)
+        # plant 30 wrong correspondences (features matched to the wrong
+        # landmark): shuffle X2/uv2 rows among themselves
+        n_bad = 30
+        bad = g.choice(N, n_bad, replace=False)
+        perm = np.roll(bad, 7)
+        X2_o, uv2_o = X2.copy(), uv2.copy()
+        X2_o[bad] = X2[perm]
+        uv2_o[bad] = uv2[perm]
+        # perturbed init (what a noisy RANSAC hands over)
+        dxi = np.array([0.02, -0.01, 0.015, 0.05, 0.05, -0.05, 0.02], np.float32)
+        S0 = np.asarray(_lie.sim3_exp(jnp.asarray(dxi))) @ S_true
+        sig = np.ones(N, np.float32)
+        out = optimize_sim3_pair(
+            jnp.asarray(S0), jnp.asarray(X1), jnp.asarray(X2_o),
+            jnp.asarray(uv1), jnp.asarray(uv2_o), jnp.ones(N, bool),
+            jnp.asarray(sig), jnp.asarray(sig),
+            INTR.fx, INTR.fy, INTR.cx, INTR.cy)
+        S_opt = np.asarray(out.S12)
+        inl = np.asarray(out.inliers)
+        # every planted outlier gated out; (almost) all true pairs kept
+        assert not inl[bad].any()
+        assert inl.sum() >= N - n_bad - 5
+        d = np.asarray(_lie.sim3_log(jnp.asarray(
+            (S_opt @ np.linalg.inv(S_true)).astype(np.float32))))
+        assert np.abs(d).max() < 5e-3, d
+        # the un-gated Horn refit over the same contaminated set is
+        # visibly worse — the gating is what OptimizeSim3 adds
+        s_h, R_h, t_h = horn_sim3(jnp.asarray(X1[None]), jnp.asarray(X2_o[None]))
+        S_h = np.eye(4, dtype=np.float32)
+        S_h[:3, :3] = float(s_h[0]) * np.asarray(R_h[0])
+        S_h[:3, 3] = np.asarray(t_h[0])
+        d_h = np.asarray(_lie.sim3_log(jnp.asarray(
+            (S_h @ np.linalg.inv(S_true)).astype(np.float32))))
+        assert np.abs(d_h).max() > 5 * np.abs(d).max()
