@@ -63,11 +63,38 @@ def main():
         ate = synthetic.ate_rmse(est, poses[ids])
     tracked = sum(1 for e in slam.log if e.T_cw is not None)
 
+    # ---- per-stage device-time breakdown: each jitted stage timed alone
+    # on one representative frame (blocked; dispatch overhead included) ----
+    from structure_slam_pointline_tpu.models import pipeline, tracking
+
+    img0 = imgs_dev[n_frames // 2]
+    frame = pipeline.build_frame_device(img0, slam.intr, cfg)
+    jax.block_until_ready(frame.xy)
+
+    def _time_ms(fn, reps=10):
+        fn()  # warm
+        t = time.time()
+        for _ in range(reps):
+            out = fn()
+        jax.block_until_ready(out)
+        return (time.time() - t) / reps * 1000.0
+
+    t_frontend = _time_ms(lambda: pipeline.build_frame_device(
+        img0, slam.intr, cfg).xy)
+    T_pred = slam.carry.T_last
+    t_track = _time_ms(lambda: tracking.track_step(
+        slam.carry.state, frame, T_pred, jnp.asarray(0), slam.intr, cfg,
+        n_kf=slam.carry.n_kf).T_cw)
+
     print(json.dumps({
         "metric": "tracked_frames_per_second",
         "value": round(fps, 2),
         "unit": "fps",
+        # NOTE: the denominator is the reference's 30 fps REAL-TIME TARGET
+        # (its README/yaml fps), not a measured run of the C++ reference —
+        # the reference toolchain does not build in this image (BASELINE.md)
         "vs_baseline": round(fps / 30.0, 3),
+        "baseline_kind": "reference 30 fps real-time target (not measured)",
         "extra": {
             "tracked_frames": tracked,
             "total_frames": n_frames,
@@ -75,6 +102,11 @@ def main():
             "n_keyframes": slam.cur.n_kf,
             "n_map_points": slam.cur.n_mp,
             "device": str(jax.devices()[0]),
+            "stage_ms": {
+                "frontend": round(t_frontend, 2),
+                "track": round(t_track, 2),
+            },
+            "counters": dict(slam.metrics.counters),
         },
     }))
 

@@ -65,6 +65,11 @@ class FrontendConfig:
                                       # (refinement always runs full-res); measured
                                       # SLOWER at 2 on TPU v5e: strided 2x2 box
                                       # slicing costs more than the support saves
+    line_octaves: int = 2            # pyramid octaves for line detection
+                                     # (ref LSDDetector runs a scale pyramid,
+                                     # ExtractLineSegment.cpp:39-40); factor-2
+                                     # octaves here (one 2x2-box downsample)
+    line_scale_factor: float = 2.0   # per-octave scale for line sigma^2
     line_grad_threshold: float = 10.0
     line_angle_tol: float = 0.3926990816987  # 22.5 deg orientation alignment tolerance
     line_min_length: float = 24.0    # min segment length in px
@@ -158,6 +163,11 @@ class KeyframeConfig:
                                      # fires (TrackReferenceKeyFrame's role,
                                      # Tracking.cc:212; ref fails motion-model
                                      # tracking under ~10 map inliers)
+    min_inliers_healthy: int = 30    # TrackLocalMap health gate
+                                     # (Tracking.cc:284-287: <=30 inliers -> LOST)
+    min_inliers_recover: int = 50    # stricter gate on the first frame after
+                                     # being lost (Tracking.cc:284: 50 right
+                                     # after relocalization)
     min_matches_reloc: int = 15
 
 

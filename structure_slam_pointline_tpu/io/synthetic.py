@@ -27,9 +27,30 @@ class Scene(NamedTuple):
     lines: np.ndarray       # [L, 6] world segments (x1 y1 z1 x2 y2 z2)
 
 
+def _natural_textures(g: np.random.Generator, n: int, tex: int,
+                      contrast: float) -> np.ndarray:
+    """Band-limited (Perlin-like) patch textures with natural image
+    statistics: smooth low-frequency structure instead of binary checker
+    noise, at a controllable contrast around the scene background."""
+    coarse = g.normal(0.0, 1.0, size=(n, tex // 3 + 2, tex // 3 + 2))
+    up = np.kron(coarse, np.ones((1, 3, 3)))[:, :tex, :tex]
+    # one smoothing pass (3x3 box) kills the kron blockiness
+    pad = np.pad(up, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    sm = sum(pad[:, dy : dy + tex, dx : dx + tex]
+             for dy in range(3) for dx in range(3)) / 9.0
+    sm = sm / np.abs(sm).max(axis=(1, 2), keepdims=True).clip(1e-6)
+    return (110.0 + 100.0 * contrast * sm).astype(np.float32)
+
+
 def make_room_scene(n_points: int = 300, n_lines: int = 24, seed: int = 0,
-                    extent: float = 4.0, depth_range=(4.0, 9.0), tex: int = 9) -> Scene:
-    """A wall of textured patches + a grid of line segments in front of the camera."""
+                    extent: float = 4.0, depth_range=(4.0, 9.0), tex: int = 9,
+                    natural_tex: bool = False, contrast: float = 1.0,
+                    n_occluders: int = 0) -> Scene:
+    """A wall of textured patches + a grid of line segments in front of the
+    camera. `natural_tex` swaps the binary checker textures for smooth
+    band-limited ones at `contrast` (0..1) — the hard-mode frontend input;
+    `n_occluders` adds large weakly-textured patches at near depth that
+    occlude background structure as the camera moves."""
     g = np.random.default_rng(seed)
     pts = np.stack(
         [
@@ -39,8 +60,11 @@ def make_room_scene(n_points: int = 300, n_lines: int = 24, seed: int = 0,
         ],
         axis=1,
     ).astype(np.float32)
-    # high-contrast random textures -> strong FAST corners, distinctive BRIEF bits
-    patch_tex = g.integers(0, 2, size=(n_points, tex, tex)).astype(np.float32) * 200.0 + 30.0
+    if natural_tex:
+        patch_tex = _natural_textures(g, n_points, tex, contrast)
+    else:
+        # high-contrast random textures -> strong FAST corners, distinctive BRIEF bits
+        patch_tex = g.integers(0, 2, size=(n_points, tex, tex)).astype(np.float32) * 200.0 + 30.0
     # random in-plane orientation, patches face roughly toward -z (camera)
     angles = g.uniform(0, 2 * np.pi, n_points)
     ax0 = np.stack([np.cos(angles), np.sin(angles), np.zeros(n_points)], 1).astype(np.float32)
@@ -57,6 +81,28 @@ def make_room_scene(n_points: int = 300, n_lines: int = 24, seed: int = 0,
         d /= np.linalg.norm(d)
         half = g.uniform(0.8, 2.0)
         lines.append(np.concatenate([c - half * d, c + half * d]))
+    if n_occluders > 0:
+        # near-depth, weakly-textured blockers (depth-sorted rendering in
+        # `render` paints them over the background they hide)
+        occ_pts = np.stack(
+            [
+                g.uniform(-extent * 0.5, extent * 0.5, n_occluders),
+                g.uniform(-extent * 0.3, extent * 0.3, n_occluders),
+                g.uniform(2.2, 3.2, n_occluders),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        occ_tex = _natural_textures(g, n_occluders, tex, 0.15)
+        occ_ang = g.uniform(0, 2 * np.pi, n_occluders)
+        o0 = np.stack([np.cos(occ_ang), np.sin(occ_ang),
+                       np.zeros(n_occluders)], 1).astype(np.float32)
+        o1 = np.stack([-np.sin(occ_ang), np.cos(occ_ang),
+                       np.zeros(n_occluders)], 1).astype(np.float32)
+        # 4x axes -> ~4x patch_size footprint: genuinely large blockers
+        o0, o1 = 4.0 * o0, 4.0 * o1
+        pts = np.concatenate([pts, occ_pts])
+        patch_tex = np.concatenate([patch_tex, occ_tex])
+        axes = np.concatenate([axes, np.stack([o0, o1], axis=1)])
     return Scene(
         points=pts,
         patch_tex=patch_tex,
@@ -116,7 +162,8 @@ def _project(cam: CameraConfig, p_cam: np.ndarray):
 
 
 def render(scene: Scene, T_wc: np.ndarray, cam: CameraConfig,
-           bg: float = 110.0, noise: float = 2.0, seed: int = 0) -> np.ndarray:
+           bg: float = 110.0, noise: float = 2.0, seed: int = 0,
+           gain: float = 1.0) -> np.ndarray:
     """Render grayscale [H, W] float32 for camera-to-world pose T_wc.
 
     Patches are rendered by inverse warping: for each visible point, the
@@ -141,7 +188,11 @@ def render(scene: Scene, T_wc: np.ndarray, cam: CameraConfig,
     u, v, z = _project(cam, p_cam)
     vis = (z > 0.3) & (u > -40) & (u < W + 40) & (v > -40) & (v < H + 40)
     T = scene.patch_tex.shape[1]
-    for i in np.nonzero(vis)[0]:
+    # far-to-near paint order: near patches (occluders) overwrite what
+    # they hide
+    order = np.nonzero(vis)[0]
+    order = order[np.argsort(-z[order])]
+    for i in order:
         # patch plane: X(s, t) = P + s*a0 + t*a1, s,t in [-hs, hs]
         a0c = R_cw @ scene.patch_axes[i, 0]
         a1c = R_cw @ scene.patch_axes[i, 1]
@@ -158,7 +209,7 @@ def render(scene: Scene, T_wc: np.ndarray, cam: CameraConfig,
         v0, v1 = int(np.floor(cv.min())), int(np.ceil(cv.max()))
         u0, u1 = max(u0, 0), min(u1, W - 1)
         v0, v1 = max(v0, 0), min(v1, H - 1)
-        if u1 <= u0 or v1 <= v0 or (u1 - u0) * (v1 - v0) > 40000:
+        if u1 <= u0 or v1 <= v0 or (u1 - u0) * (v1 - v0) > 120000:
             continue
         pu, pv = np.meshgrid(np.arange(u0, u1 + 1), np.arange(v0, v1 + 1))
         # ray through pixel: r = K^-1 [u, v, 1]
@@ -205,13 +256,25 @@ def render(scene: Scene, T_wc: np.ndarray, cam: CameraConfig,
                 wgt = np.exp(-0.5 * (du * du + dv * dv) / 0.8)
                 img[iv, iu] = np.minimum(img[iv, iu] * (1 - wgt) + 245.0 * wgt, 255.0)
 
+    if gain != 1.0:
+        # global illumination change (exposure/lighting drift across the
+        # sequence): scale about black, like a real exposure change
+        img = img * gain
     if noise > 0:
         img = img + g.normal(0, noise, img.shape).astype(np.float32)
     return np.clip(img, 0, 255).astype(np.float32)
 
 
-def render_sequence(scene: Scene, poses_wc: np.ndarray, cam: CameraConfig, noise: float = 2.0):
-    return np.stack([render(scene, T, cam, noise=noise, seed=i) for i, T in enumerate(poses_wc)])
+def render_sequence(scene: Scene, poses_wc: np.ndarray, cam: CameraConfig,
+                    noise: float = 2.0, illum_amp: float = 0.0):
+    """Render a whole trajectory; `illum_amp` adds a slow sinusoidal
+    exposure drift (gain in [1-amp, 1+amp]) across the sequence."""
+    n = len(poses_wc)
+    return np.stack([
+        render(scene, T, cam, noise=noise, seed=i,
+               gain=1.0 + illum_amp * np.sin(2 * np.pi * i / max(n, 1)))
+        for i, T in enumerate(poses_wc)
+    ])
 
 
 def ate_rmse(est_Twc: np.ndarray, gt_Twc: np.ndarray, align: bool = True) -> float:

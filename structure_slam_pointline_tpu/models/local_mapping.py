@@ -162,6 +162,8 @@ def insert_keyframe(
 class NewPointsResult(NamedTuple):
     state: MapState
     n_new: jnp.ndarray  # scalar int32
+    n_clipped: jnp.ndarray = jnp.zeros((), jnp.int32)  # candidates dropped by
+    # the MAX_NEW_POINTS budget or a full landmark pool (silent-cap counter)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -261,9 +263,13 @@ def create_new_points(
     # allocate slots n_mp + rank among good (fixed MAX_NEW_POINTS budget)
     order = jnp.nonzero(good, size=MAX_NEW_POINTS, fill_value=-1)[0]  # feature idx
     taking = order >= 0
-    n_new = jnp.sum(taking).astype(jnp.int32)
+    n_good = jnp.sum(good).astype(jnp.int32)
     slot = n_mp + jnp.cumsum(taking.astype(jnp.int32)) - 1
+    pool_drop = taking & (slot >= P)
     slot = jnp.where(taking & (slot < P), slot, P)  # drop overflow
+    n_new = jnp.sum(taking & ~pool_drop).astype(jnp.int32)
+    n_clipped = (jnp.maximum(n_good - MAX_NEW_POINTS, 0)
+                 + jnp.sum(pool_drop)).astype(jnp.int32)
     feat = jnp.clip(order, 0, F - 1)
 
     st = state._replace(
@@ -308,7 +314,7 @@ def create_new_points(
     st = st._replace(
         kf_kp_mp=st.kf_kp_mp.at[k_new].set(kp_mp_new).at[k_ref].set(kp_mp_ref)
     )
-    return NewPointsResult(state=st, n_new=n_new)
+    return NewPointsResult(state=st, n_new=n_new, n_clipped=n_clipped)
 
 
 MAX_NEW_LINES = 64
@@ -317,6 +323,7 @@ MAX_NEW_LINES = 64
 class NewLinesResult(NamedTuple):
     state: MapState
     n_new: jnp.ndarray
+    n_clipped: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -403,9 +410,13 @@ def create_new_lines(
 
     order = jnp.nonzero(good, size=MAX_NEW_LINES, fill_value=-1)[0]
     taking = order >= 0
-    n_new = jnp.sum(taking).astype(jnp.int32)
+    n_good_l = jnp.sum(good).astype(jnp.int32)
     slot = n_ml + jnp.cumsum(taking.astype(jnp.int32)) - 1
+    pool_drop = taking & (slot >= L)
     slot = jnp.where(taking & (slot < L), slot, L)
+    n_new = jnp.sum(taking & ~pool_drop).astype(jnp.int32)
+    n_clipped = (jnp.maximum(n_good_l - MAX_NEW_LINES, 0)
+                 + jnp.sum(pool_drop)).astype(jnp.int32)
     feat = jnp.clip(order, 0, LF - 1)
 
     eps6 = jnp.concatenate([Xs, Xe], axis=1)     # [LF, 6]
@@ -439,7 +450,7 @@ def create_new_lines(
     st = st._replace(
         kf_line_ml=st.kf_line_ml.at[k_new].set(ml_new).at[k_ref].set(ml_ref)
     )
-    return NewLinesResult(state=st, n_new=n_new)
+    return NewLinesResult(state=st, n_new=n_new, n_clipped=n_clipped)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -687,15 +698,18 @@ def gather_ba_problem(
     free = jnp.asarray(
         [(i >= lo_free and i != 0) for i in ids] + [False] * pad
     )
-    return _gather_ba_device(state, local_kf, free, cfg)
+    return _gather_ba_device(state, local_kf, free, cfg)[:5]
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_mp_cap", "n_ln_cap"))
 def _gather_ba_device(state: MapState, local_kf: jnp.ndarray, free: jnp.ndarray,
                       cfg: SLAMConfig, n_mp_cap: int = BA_LOCAL_MP,
                       n_ln_cap: int = BA_LOCAL_LN):
-    """Returns (prob, lines, local_kf, local_mp, local_ln); `lines` /
-    `local_ln` are None when cfg.use_lines is off."""
+    """Returns (prob, lines, local_kf, local_mp, local_ln, n_dropped);
+    `lines` / `local_ln` are None when cfg.use_lines is off. `n_dropped`
+    counts landmarks in the window that did NOT fit the fixed
+    n_mp_cap/n_ln_cap problem shape (the silent-cap counter the bench
+    metrics surface)."""
     K = state.kf_valid.shape[0]
     P = state.mp_valid.shape[0]
     rows = jnp.clip(local_kf, 0, K - 1)
@@ -731,8 +745,10 @@ def _gather_ba_device(state: MapState, local_kf: jnp.ndarray, free: jnp.ndarray,
         mp_xyz=state.mp_xyz[mp_safe],
         mp_valid=(local_mp >= 0) & state.mp_valid[mp_safe],
     )
+    n_drop_mp = jnp.maximum(
+        jnp.sum(in_local).astype(jnp.int32) - n_mp_cap, 0)
     if not cfg.use_lines:
-        return prob, None, local_kf, local_mp, None
+        return prob, None, local_kf, local_mp, None, n_drop_mp
 
     # map-line block: lines with edges in the window, endpoints as
     # marginalized landmarks (optim/local_ba.py BALineProblem)
@@ -751,7 +767,8 @@ def _gather_ba_device(state: MapState, local_kf: jnp.ndarray, free: jnp.ndarray,
         edge_ln_glob >= 0, g2l_ln[jnp.clip(edge_ln_glob, 0, L)], -1
     )
     lsigma2 = jnp.power(
-        cfg.frontend.scale_factor, 2.0 * state.kf_loctave[rows].astype(jnp.float32)
+        cfg.frontend.line_scale_factor,
+        2.0 * state.kf_loctave[rows].astype(jnp.float32)
     )
     lines = local_ba.BALineProblem(
         ln_start=state.ml_endpoints[ln_safe, :3],
@@ -762,7 +779,9 @@ def _gather_ba_device(state: MapState, local_kf: jnp.ndarray, free: jnp.ndarray,
         edge_ln=edge_ln_local,
         edge_valid=(edge_ln_local >= 0) & state.kf_line_valid[rows],
     )
-    return prob, lines, local_kf, local_mp, local_ln
+    n_dropped = n_drop_mp + jnp.maximum(
+        jnp.sum(ln_local).astype(jnp.int32) - n_ln_cap, 0)
+    return prob, lines, local_kf, local_mp, local_ln, n_dropped
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))

@@ -55,6 +55,9 @@ class FrameOut(NamedTuple):
     ok: jnp.ndarray            # bool
     n_inliers: jnp.ndarray     # int32
     is_kf: jnp.ndarray         # bool
+    n_dropped: jnp.ndarray = jnp.zeros((), jnp.int32)  # landmarks silently
+    # clipped this frame by fixed problem shapes (MAX_NEW_POINTS/LINES
+    # budgets + BA_LOCAL_MP/LN caps) — fed to the host metrics registry
 
 
 def build_frame_device(img: jnp.ndarray, intr: Intrinsics, cfg: SLAMConfig) -> Frame:
@@ -67,7 +70,10 @@ def build_frame_device(img: jnp.ndarray, intr: Intrinsics, cfg: SLAMConfig) -> F
     LF = fe.n_lines
     if cfg.use_lines:
         with jax.named_scope("lsd"):
-            ln = lsd.detect_lines(img, fe)
+            if fe.line_octaves > 1:
+                ln = lsd.detect_lines_pyramid(img, fe)
+            else:
+                ln = lsd.detect_lines(img, fe)
         with jax.named_scope("lbd"):
             ldesc, _ = lbd.describe_lines(img, ln.endpoints, ln.valid)
         line_ep = ln.endpoints
@@ -82,10 +88,12 @@ def build_frame_device(img: jnp.ndarray, intr: Intrinsics, cfg: SLAMConfig) -> F
             line2d = l / jnp.maximum(
                 jnp.hypot(l[:, 0], l[:, 1]), 1e-9
             )[:, None]
+        loct = (ln.octave if ln.octave is not None
+                else jnp.zeros((LF,), jnp.int32))
         return Frame(
             xy=xy, desc=kp.desc, octave=kp.octave, angle=kp.angle, kp_valid=kp.valid,
             line2d=line2d, line_ep=line_ep, ldesc=ldesc,
-            loctave=jnp.zeros((LF,), jnp.int32), line_valid=ln.valid,
+            loctave=loct, line_valid=ln.valid,
         )
     return Frame(
         xy=xy, desc=kp.desc, octave=kp.octave, angle=kp.angle, kp_valid=kp.valid,
@@ -129,7 +137,7 @@ def _gather_ba_problem_device(
 def _keyframe_pipeline(
     state: MapState, frame: Frame, tr: tracking.TrackResult,
     n_kf: jnp.ndarray, n_mp: jnp.ndarray, n_ml: jnp.ndarray, frame_id: jnp.ndarray,
-    intr: Intrinsics, cfg: SLAMConfig,
+    intr: Intrinsics, cfg: SLAMConfig, mesh=None,
 ):
     """Insert KF + triangulate points/lines vs neighbors + local BA + cull.
     Mirrors LocalMapping::Run's per-keyframe sequence (LocalMapping.cc:52-176)."""
@@ -149,15 +157,26 @@ def _keyframe_pipeline(
     st, n_mp = out1.state, n_mp + out1.n_new
     out2 = lm.create_new_points(st, k, nb2, n_mp, intr, cfg)
     st, n_mp = out2.state, n_mp + out2.n_new
+    n_dropped = out1.n_clipped + out2.n_clipped
     if cfg.use_lines:
         outl = lm.create_new_lines(st, k, nb1, n_ml, intr, cfg)
         st, n_ml = outl.state, n_ml + outl.n_new
+        n_dropped = n_dropped + outl.n_clipped
     st = lm.fuse_duplicate_points(st, k, k + 1, intr, cfg)
     if cfg.use_lines:
         st = lm.fuse_duplicate_lines(st, k, k + 1, intr, cfg)
-    prob, ba_lines, local_kf, local_mp, local_ln = _gather_ba_problem_device(
-        st, k + 1, cfg, k, covis_w)
-    ba = local_ba.bundle_adjust(prob, intr, cfg.optim, lines=ba_lines)
+    prob, ba_lines, local_kf, local_mp, local_ln, ba_drop = \
+        _gather_ba_problem_device(st, k + 1, cfg, k, covis_w)
+    n_dropped = n_dropped + ba_drop
+    if mesh is not None and mesh.devices.size > 1:
+        # multi-device: the SAME Schur engine, shard_mapped along the
+        # landmark axis (camera system psum-reduced over ICI) — the
+        # distributed BA the system actually uses, not a side path
+        from structure_slam_pointline_tpu.parallel import dist_ba
+        ba = dist_ba.shard_bundle_adjust(mesh, prob, intr, cfg.optim,
+                                         lines=ba_lines)
+    else:
+        ba = local_ba.bundle_adjust(prob, intr, cfg.optim, lines=ba_lines)
     st = lm.apply_ba_result(st, local_kf, local_mp, ba, local_ln=local_ln)
     # one obs-count scatter shared by point and keyframe culling; cull
     # candidates = the new KF's covisibility neighbors (reference
@@ -171,13 +190,14 @@ def _keyframe_pipeline(
     st = lm.cull_keyframes(st, k + 1, cfg, obs=obs, cand_ids=cand_ids)
     # the tracked pose may have moved in BA
     T_new = st.kf_T_cw[k]
-    return st, n_mp, n_ml, k + 1, T_new
+    return st, n_mp, n_ml, k + 1, T_new, n_dropped
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(0,))
 def slam_step(
     carry: SLAMCarry, img: jnp.ndarray, frame_id: jnp.ndarray,
     intr: Intrinsics, cfg: SLAMConfig, allow_kf: jnp.ndarray | bool = True,
+    mesh=None,
 ):
     """One tracked frame, fully on device. `allow_kf=False` is
     localization-only mode: track against the map but never extend it
@@ -212,7 +232,10 @@ def slam_step(
         state = tracking.update_seen_counters(carry.state, tr, cfg)
 
     n_inl = tr.n_inliers
-    ok = n_inl >= jnp.where(carry.ok, 15, 30)
+    # health gate at the reference's thresholds: 30 inliers to stay OK,
+    # 50 to come back from LOST (Tracking.cc:284-287)
+    ok = n_inl >= jnp.where(carry.ok, cfg.keyframe.min_inliers_healthy,
+                            cfg.keyframe.min_inliers_recover)
 
     # keyframe decision (Tracking::NeedNewKeyFrame distilled)
     weak = n_inl < (cfg.keyframe.min_tracked_ratio * carry.inliers_at_kf.astype(jnp.float32)).astype(jnp.int32)
@@ -225,19 +248,21 @@ def slam_step(
 
     def do_kf(op):
         state, frame, tr = op
-        st, n_mp, n_ml, n_kf, T_new = _keyframe_pipeline(
-            state, frame, tr, carry.n_kf, carry.n_mp, carry.n_ml, frame_id, intr, cfg
+        st, n_mp, n_ml, n_kf, T_new, n_drop = _keyframe_pipeline(
+            state, frame, tr, carry.n_kf, carry.n_mp, carry.n_ml, frame_id,
+            intr, cfg, mesh=mesh,
         )
-        return st, n_mp, n_ml, n_kf, T_new, jnp.zeros((), jnp.int32), n_inl
+        return st, n_mp, n_ml, n_kf, T_new, jnp.zeros((), jnp.int32), n_inl, n_drop
 
     def no_kf(op):
         state, frame, tr = op
         return (
             state, carry.n_mp, carry.n_ml, carry.n_kf, tr.T_cw,
             carry.frames_since_kf + 1, carry.inliers_at_kf,
+            jnp.zeros((), jnp.int32),
         )
 
-    state, n_mp, n_ml, n_kf, T_cw, frames_since, inl_at_kf = jax.lax.cond(
+    state, n_mp, n_ml, n_kf, T_cw, frames_since, inl_at_kf, n_drop = jax.lax.cond(
         need_kf, do_kf, no_kf, (state, frame, tr)
     )
 
@@ -256,20 +281,22 @@ def slam_step(
         inliers_at_kf=inl_at_kf,
         ok=ok,
     )
-    return new_carry, FrameOut(T_cw=T_cw, ok=ok, n_inliers=n_inl, is_kf=need_kf)
+    return new_carry, FrameOut(T_cw=T_cw, ok=ok, n_inliers=n_inl,
+                               is_kf=need_kf, n_dropped=n_drop)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(0,))
 def slam_scan(
     carry: SLAMCarry, imgs: jnp.ndarray, first_frame_id: jnp.ndarray,
     intr: Intrinsics, cfg: SLAMConfig, allow_kf: jnp.ndarray | bool = True,
+    mesh=None,
 ):
     """Track a whole [N, H, W] sequence as one XLA program."""
     n = imgs.shape[0]
 
     def body(c, x):
         img, fid = x
-        return slam_step(c, img, fid, intr, cfg, allow_kf)
+        return slam_step(c, img, fid, intr, cfg, allow_kf, mesh=mesh)
 
     fids = first_frame_id + jnp.arange(n, dtype=jnp.int32)
     return jax.lax.scan(body, carry, (imgs, fids))
@@ -277,13 +304,14 @@ def slam_scan(
 
 @jax.jit
 def pack_frame_out(out: FrameOut) -> jnp.ndarray:
-    """Pack per-frame outputs into one [19] vector so the host needs a
+    """Pack per-frame outputs into one [20] vector so the host needs a
     single small D2H transfer (tunnel round-trips dominate latency)."""
     return jnp.concatenate([
         out.T_cw.reshape(16),
         out.ok.astype(jnp.float32)[None],
         out.n_inliers.astype(jnp.float32)[None],
         out.is_kf.astype(jnp.float32)[None],
+        out.n_dropped.astype(jnp.float32)[None],
     ])
 
 

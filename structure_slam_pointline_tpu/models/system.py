@@ -34,6 +34,7 @@ from structure_slam_pointline_tpu.models import pipeline, tracking
 from structure_slam_pointline_tpu.models.tracking import Frame
 from structure_slam_pointline_tpu.ops import hamming, matching, twoview
 from structure_slam_pointline_tpu.utils.camera import Intrinsics
+from structure_slam_pointline_tpu.utils.metrics import Metrics
 from structure_slam_pointline_tpu.world import map_store
 
 
@@ -56,8 +57,13 @@ class FrameLog:
 class SLAMSystem:
     """Monocular point(+line) SLAM over a device-resident map."""
 
-    def __init__(self, cfg: SLAMConfig | None = None):
+    def __init__(self, cfg: SLAMConfig | None = None, mesh=None):
         self.cfg = cfg or SLAMConfig()
+        # optional jax.sharding.Mesh: with >1 device the keyframe
+        # pipeline's local BA and the post-loop global BA run the
+        # shard_mapped engine (parallel/dist_ba.py) over its axis
+        self.mesh = mesh
+        self.metrics = Metrics()
         self.intr = Intrinsics.from_config(self.cfg.camera)
         self.state = TrackingState.NO_IMAGES_YET
         self.map = map_store.init_map(self.cfg)
@@ -81,9 +87,18 @@ class SLAMSystem:
     def build_frame(self, img: np.ndarray, init_mode: bool = False) -> Frame:
         """Full device frame build — ORB AND lines (the reference extracts
         both in the Frame ctor including during initialization,
-        Frame.cc:86-87), so the initial map can carry line observations."""
+        Frame.cc:86-87), so the initial map can carry line observations.
+        `init_mode` doubles the ORB budget to n_keypoints_init (the
+        reference constructs mpIniORBextractor with 2*nFeatures,
+        Tracking.cc:119-120); the initial map creation then shrinks the
+        two bootstrap frames back to the runtime pool width, keeping
+        triangulated features first."""
+        cfg = self.cfg
+        if init_mode and cfg.frontend.n_keypoints_init != cfg.frontend.n_keypoints:
+            cfg = cfg.replace(frontend=dataclasses.replace(
+                cfg.frontend, n_keypoints=cfg.frontend.n_keypoints_init))
         return pipeline.build_frame_device(
-            jnp.asarray(img, jnp.float32), self.intr, self.cfg)
+            jnp.asarray(img, jnp.float32), self.intr, cfg)
 
     # ------------------------------------------------------------------ #
     # public API
@@ -135,10 +150,15 @@ class SLAMSystem:
             self.carry, outs = pipeline.slam_scan(
                 self.carry, imgs_j[i : i + c],
                 jnp.asarray(first_frame_id + i, jnp.int32), self.intr, self.cfg,
-                jnp.asarray(not self.localization_mode),
+                jnp.asarray(not self.localization_mode), mesh=self.mesh,
             )
-            T, okk, inl, iskf = jax.device_get(
-                (outs.T_cw, outs.ok, outs.n_inliers, outs.is_kf))
+            T, okk, inl, iskf, ndrop = jax.device_get(
+                (outs.T_cw, outs.ok, outs.n_inliers, outs.is_kf,
+                 outs.n_dropped))
+            self.metrics.count("frames", c)
+            self.metrics.count("frames_lost", int((~okk).sum()))
+            self.metrics.count("keyframes", int(iskf.sum()))
+            self.metrics.count("landmarks_clipped", int(ndrop.sum()))
             T_out[i : i + c] = T
             ok_out[i : i + c] = okk
             inl_out[i : i + c] = inl
@@ -187,9 +207,11 @@ class SLAMSystem:
         if self.cur.n_kf < 2:
             return None  # no map to relocalize against
         for jj in range(j_lo, j_hi):
+            self.metrics.count("reloc_attempts")
             T_rec = self._attempt_relocalization(
                 np.asarray(imgs[jj]), first_frame_id + jj)
             if T_rec is not None:
+                self.metrics.count("reloc_success")
                 return jj, T_rec
         return None
 
@@ -199,6 +221,7 @@ class SLAMSystem:
         self.carry, out = pipeline.slam_step(
             self.carry, img_j, jnp.asarray(frame_id, jnp.int32),
             self.intr, self.cfg, jnp.asarray(not self.localization_mode),
+            mesh=self.mesh,
         )
         self.map = self.carry.state
         packed = jax.device_get(pipeline.pack_frame_out(out))
@@ -206,6 +229,7 @@ class SLAMSystem:
         ok = bool(packed[16] > 0.5)
         n_inl = int(packed[17])
         is_kf = bool(packed[18] > 0.5)
+        self._count_frame(ok, is_kf, int(packed[19]))
         if ok:
             if is_kf and self.cfg.enable_loop_closing:
                 self._loop_close_new_keyframes()
@@ -215,6 +239,15 @@ class SLAMSystem:
             return None, False, n_inl, False
         T_rec = self._attempt_relocalization(np.asarray(img_np), frame_id)
         return (T_rec, T_rec is not None, n_inl, False)
+
+    def _count_frame(self, ok: bool, is_kf: bool, n_dropped: int) -> None:
+        self.metrics.count("frames")
+        if not ok:
+            self.metrics.count("frames_lost")
+        if is_kf:
+            self.metrics.count("keyframes")
+        if n_dropped:
+            self.metrics.count("landmarks_clipped", n_dropped)
 
     def _loop_close_new_keyframes(self) -> None:
         """Feed every keyframe inserted since the last call through the
@@ -306,14 +339,28 @@ class SLAMSystem:
         T1[:3, :3] = R
         T1[:3, 3] = t
 
-        F = frame.xy.shape[0]
         ids = np.nonzero(good)[0]
         n_new = len(ids)
-        mp_of_feat0 = np.full(F, -1, np.int32)
-        mp_of_feat0[ids] = np.arange(n_new)
         idx_np = np.asarray(m.idx)
-        mp_of_feat1 = np.full(F, -1, np.int32)
-        mp_of_feat1[idx_np[ids]] = np.arange(n_new)
+        F = self.cfg.frontend.n_keypoints  # runtime pool width
+        ref_frame = self.ref_frame
+        if frame.xy.shape[0] != F:
+            # bootstrap ran at the doubled init budget: shrink both frames
+            # to the pool width, triangulated features first (so every new
+            # landmark keeps its observation in both keyframes)
+            if n_new > F:
+                ids = ids[:F]
+                n_new = F
+            ref_frame = _shrink_to_budget(ref_frame, ids, F)
+            frame = _shrink_to_budget(frame, idx_np[ids], F)
+            mp_of_feat0 = np.full(F, -1, np.int32)
+            mp_of_feat0[:n_new] = np.arange(n_new)
+            mp_of_feat1 = mp_of_feat0.copy()
+        else:
+            mp_of_feat0 = np.full(F, -1, np.int32)
+            mp_of_feat0[ids] = np.arange(n_new)
+            mp_of_feat1 = np.full(F, -1, np.int32)
+            mp_of_feat1[idx_np[ids]] = np.arange(n_new)
 
         st = self.map
         slots = jnp.arange(n_new)
@@ -334,7 +381,7 @@ class SLAMSystem:
         n_newl = 0
         if ml is not None:
             tri = twoview.triangulate_lines(
-                self.ref_frame.line2d, self.ref_frame.line_ep,
+                ref_frame.line2d, ref_frame.line_ep,
                 frame.line2d[ml.idx], ml.valid, out.R, out.t, self.intr.K)
             good_l = np.asarray(tri.good)
             lids = np.nonzero(good_l)[0]
@@ -357,7 +404,7 @@ class SLAMSystem:
 
         st = lm.insert_keyframe(
             st, jnp.asarray(0), jnp.asarray(self.ref_frame_id), jnp.asarray(T0),
-            self.ref_frame, jnp.asarray(mp_of_feat0), jnp.asarray(line_ml0), self.cfg,
+            ref_frame, jnp.asarray(mp_of_feat0), jnp.asarray(line_ml0), self.cfg,
         )
         st = lm.insert_keyframe(
             st, jnp.asarray(1), jnp.asarray(frame_id), jnp.asarray(T1),
@@ -392,6 +439,7 @@ class SLAMSystem:
         self.carry, out = pipeline.slam_step(
             self.carry, jnp.asarray(img, jnp.float32), jnp.asarray(frame_id, jnp.int32),
             self.intr, self.cfg, jnp.asarray(not self.localization_mode),
+            mesh=self.mesh,
         )
         self.map = self.carry.state
         packed = jax.device_get(pipeline.pack_frame_out(out))  # ONE small D2H
@@ -399,6 +447,7 @@ class SLAMSystem:
         ok = bool(packed[16] > 0.5)
         n_inl = int(packed[17])
         is_kf = bool(packed[18] > 0.5)
+        self._count_frame(ok, is_kf, int(packed[19]))
         self.state = TrackingState.OK if ok else TrackingState.LOST
         if ok:
             self.last_T = np.asarray(T)
@@ -458,11 +507,14 @@ class SLAMSystem:
             k = self.cur.n_kf - 1
         lc.add_keyframe(self.map, k)
         for cand in lc.detect(self.map, self.cur.n_kf, k):
+            self.metrics.count("loop_candidates")
             ver = lc.verify(self.map, k, cand.kf_id)
             if ver is None:
                 continue
+            self.metrics.count("loop_verified")
             S, _n = ver
             new_state = lc.correct(self.map, self.cur.n_kf, k, cand.kf_id, S)
+            self.metrics.count("loop_corrected")
             # the reference follows CorrectLoop with a detached global-BA
             # thread (LoopClosing.cc:584 -> RunGlobalBundleAdjustment);
             # here it runs inline — loop closures are rare and the Schur
@@ -470,7 +522,8 @@ class SLAMSystem:
             from structure_slam_pointline_tpu.optim import global_ba
 
             new_state = global_ba.global_bundle_adjust(
-                new_state, self.cur.n_kf, self.intr, self.cfg
+                new_state, self.cur.n_kf, self.intr, self.cfg,
+                mesh=self.mesh, metrics=self.metrics,
             )
             # carry the tracked pose through the correction: preserve the
             # relative pose to the newest keyframe (the scan may be past
@@ -495,6 +548,7 @@ class SLAMSystem:
 
         prob, ba_lines, local_kf, local_mp, local_ln = lm.gather_ba_problem(
             self.map, self.cur.n_kf, self.cfg)
+
         result = lba.bundle_adjust(prob, self.intr, self.cfg.optim, lines=ba_lines)
         self.map = lm.apply_ba_result(self.map, local_kf, local_mp, result,
                                       local_ln=local_ln)
@@ -588,6 +642,21 @@ class SLAMSystem:
                     f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
                     f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
                 )
+
+
+def _shrink_to_budget(frame: Frame, priority: np.ndarray, F: int) -> Frame:
+    """Reduce an init-budget frame to the runtime feature-pool width F,
+    placing `priority` features (triangulated init matches) at the front;
+    the remainder fills with the other detections in selection order.
+    Line fields pass through untouched (the line budget is not doubled)."""
+    F2 = frame.xy.shape[0]
+    rest = np.setdiff1d(np.arange(F2), priority)
+    perm = np.concatenate([priority, rest])[:F].astype(np.int32)
+    sel = jnp.asarray(perm)
+    return frame._replace(
+        xy=frame.xy[sel], desc=frame.desc[sel], octave=frame.octave[sel],
+        angle=frame.angle[sel], kp_valid=frame.kp_valid[sel],
+    )
 
 
 def _rot_to_quat(R: np.ndarray) -> np.ndarray:

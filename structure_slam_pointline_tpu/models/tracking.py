@@ -223,7 +223,7 @@ def track_step(
     n_kf = jnp.asarray(n_kf, jnp.int32)
 
     pt_sigma2 = _scale_sigma2(frame.octave, cfg.frontend.scale_factor)
-    ln_sigma2 = _scale_sigma2(frame.loctave, cfg.frontend.scale_factor)
+    ln_sigma2 = _scale_sigma2(frame.loctave, cfg.frontend.line_scale_factor)
 
     def one_round(T, radius_scale, line_radius, pts, lns):
         pt_ids, pt_ok, pt_safe = pts

@@ -48,6 +48,7 @@ class Lines(NamedTuple):
     response: jnp.ndarray   # [L]
     angle: jnp.ndarray      # [L] direction angle in [-pi/2, pi/2)
     valid: jnp.ndarray      # [L] bool
+    octave: jnp.ndarray = None  # [L] int32 pyramid octave (factor-2 scale)
 
 
 def gradients(img: jnp.ndarray):
@@ -482,7 +483,93 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
         response=jnp.where(valid, top_r, 0.0).astype(jnp.float32),
         angle=seg_ang[top_i].astype(jnp.float32),
         valid=valid,
+        octave=jnp.zeros((L,), jnp.int32),
     )
 
 
-__all__ = ["Lines", "gradients", "detect_lines"]
+@partial(jax.jit, static_argnames=("cfg",))
+def detect_lines_pyramid(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
+    """Two-octave line detection: full resolution + a 2x2-box half-octave
+    pass (the reference's LSDDetector runs a scale pyramid,
+    ExtractLineSegment.cpp:39-40 / line_descriptor LSDDetector.cc). The
+    half-octave favors long low-frequency structure the full-res pass
+    fragments; octave labels feed the sigma^2 weighting of line residuals
+    downstream (factor-2 scale per octave). Cross-octave duplicates
+    resolve toward octave 0 (more precise endpoints)."""
+    L = cfg.n_lines
+    l0 = detect_lines(img, cfg)
+    h, w = img.shape
+    hs, ws = h // 2, w // 2
+    img_h = 0.25 * (
+        img[0 : 2 * hs : 2, 0 : 2 * ws : 2]
+        + img[1 : 2 * hs : 2, 0 : 2 * ws : 2]
+        + img[0 : 2 * hs : 2, 1 : 2 * ws : 2]
+        + img[1 : 2 * hs : 2, 1 : 2 * ws : 2]
+    )
+    l1 = detect_lines(img_h, cfg)
+    # half-res pixel centers -> full-res coordinates; response back to
+    # full-res px units (response = length x mean magnitude)
+    ep1 = l1.endpoints * 2.0 + 0.5
+    resp1 = jnp.where(l1.valid, l1.response * 2.0, 0.0)
+
+    eps = jnp.concatenate([l0.endpoints, ep1])                   # [2L, 4]
+    resp = jnp.concatenate([l0.response, resp1])
+    ang = jnp.concatenate([l0.angle, l1.angle])
+    valid = jnp.concatenate([l0.valid, l1.valid])
+    octv = jnp.concatenate([jnp.zeros((L,), jnp.int32),
+                            jnp.ones((L,), jnp.int32)])
+
+    # cross-octave suppression: an octave-1 segment overlapping a valid
+    # octave-0 segment on the same infinite line is a duplicate
+    sx, sy, ex, ey = eps[:, 0], eps[:, 1], eps[:, 2], eps[:, 3]
+    mx = 0.5 * (sx + ex)
+    my = 0.5 * (sy + ey)
+    seg_len = jnp.hypot(ex - sx, ey - sy)
+    nxl = -jnp.sin(ang)
+    nyl = jnp.cos(ang)
+    dmid = jnp.abs(
+        nxl[:, None] * (mx[None, :] - mx[:, None])
+        + nyl[:, None] * (my[None, :] - my[:, None])
+    )
+    angclose = _angle_diff(ang[:, None], ang[None, :]) < cfg.line_angle_tol
+    dxl = jnp.cos(ang)
+    dyl = jnp.sin(ang)
+
+    def _proj(px_, py_):
+        return dxl[:, None] * (px_[None, :] - mx[:, None]) + dyl[:, None] * (
+            py_[None, :] - my[:, None]
+        )
+
+    t_s = _proj(sx, sy)
+    t_e = _proj(ex, ey)
+    lo_t = jnp.minimum(t_s, t_e)
+    hi_t = jnp.maximum(t_s, t_e)
+    half_i = 0.5 * seg_len[:, None]
+    overlap = jnp.minimum(hi_t, half_i) - jnp.maximum(lo_t, -half_i)
+    dup = (angclose & (dmid < 4.0) & (overlap > 0.0)
+           & valid[:, None] & valid[None, :])
+    # rows = octave-0 suppressors, cols = octave-1 victims
+    is0 = octv == 0
+    suppressed = jnp.any(dup & is0[:, None] & (~is0)[None, :], axis=0)
+    keep = valid & ~suppressed
+
+    sel_resp = jnp.where(keep, resp, -jnp.inf)
+    top_r, top_i = jax.lax.top_k(sel_resp, L)
+    out_valid = jnp.isfinite(top_r)
+    out_eps = eps[top_i]
+    sp = jnp.concatenate([out_eps[:, 0:2], jnp.ones((L, 1))], axis=1)
+    ep = jnp.concatenate([out_eps[:, 2:4], jnp.ones((L, 1))], axis=1)
+    l2 = jnp.cross(sp, ep)
+    nrm = jnp.sqrt(l2[:, 0] ** 2 + l2[:, 1] ** 2)
+    l2 = l2 / jnp.maximum(nrm, 1e-9)[:, None]
+    return Lines(
+        endpoints=out_eps.astype(jnp.float32),
+        line2d=l2.astype(jnp.float32),
+        response=jnp.where(out_valid, top_r, 0.0).astype(jnp.float32),
+        angle=ang[top_i].astype(jnp.float32),
+        valid=out_valid,
+        octave=octv[top_i],
+    )
+
+
+__all__ = ["Lines", "gradients", "detect_lines", "detect_lines_pyramid"]

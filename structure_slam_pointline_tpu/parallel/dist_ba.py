@@ -63,6 +63,53 @@ def _pad_lines(lines: BALineProblem, n_devices: int) -> BALineProblem:
     )
 
 
+def shard_bundle_adjust(mesh: Mesh, prob: BAProblem, intr: Intrinsics,
+                        cfg: OptimConfig,
+                        lines: BALineProblem | None = None) -> BAResult:
+    """Shard-mapped BA, callable from inside an outer jit (this is what
+    the keyframe pipeline invokes when the SLAM system is built over a
+    multi-device mesh). Landmarks shard along `mesh`'s EDGE_AXIS axis;
+    cameras and edge tables replicate; the Schur camera system reduces
+    with psum over ICI."""
+    n_dev = mesh.shape[EDGE_AXIS]
+    shard = P(EDGE_AXIS)
+    prob_specs = BAProblem(
+        kf_T_cw=P(), kf_free=P(), kf_valid=P(),
+        obs_uv=P(), obs_sigma2=P(),
+        edge_mp=P(), edge_valid=P(),
+        mp_xyz=shard, mp_valid=shard,
+    )
+    PL = prob.mp_xyz.shape[0]
+    prob = _pad_landmarks(prob, n_dev)
+    if lines is None:
+        res_specs = BAResult(kf_T_cw=P(), mp_xyz=shard, edge_inlier=P(),
+                             cost=P(), ln_start=None, ln_end=None,
+                             line_inlier=None)
+        out = jax.shard_map(
+            lambda pr: bundle_adjust(pr, intr, cfg, lines=None,
+                                     axis_name=EDGE_AXIS),
+            mesh=mesh, in_specs=(prob_specs,), out_specs=res_specs,
+        )(prob)
+    else:
+        line_specs = BALineProblem(
+            ln_start=shard, ln_end=shard, ln_valid=shard,
+            obs_l=P(), obs_sigma2=P(), edge_ln=P(), edge_valid=P(),
+        )
+        res_specs = BAResult(
+            kf_T_cw=P(), mp_xyz=shard, edge_inlier=P(), cost=P(),
+            ln_start=shard, ln_end=shard, line_inlier=P(),
+        )
+        LL = lines.ln_start.shape[0]
+        lines = _pad_lines(lines, n_dev)
+        out = jax.shard_map(
+            lambda pr, ln: bundle_adjust(pr, intr, cfg, lines=ln,
+                                         axis_name=EDGE_AXIS),
+            mesh=mesh, in_specs=(prob_specs, line_specs), out_specs=res_specs,
+        )(prob, lines)
+        out = out._replace(ln_start=out.ln_start[:LL], ln_end=out.ln_end[:LL])
+    return out._replace(mp_xyz=out.mp_xyz[:PL])
+
+
 def make_dist_ba(mesh: Mesh, intr: Intrinsics, cfg: OptimConfig,
                  n_iters: int | None = None):
     """Build a jitted distributed BA for a given mesh.
@@ -73,53 +120,12 @@ def make_dist_ba(mesh: Mesh, intr: Intrinsics, cfg: OptimConfig,
     schedule comes from cfg (local_ba_iters_first + cut +
     local_ba_iters_second), identical to the single-device engine.
     """
-    n_dev = mesh.shape[EDGE_AXIS]
-    shard = P(EDGE_AXIS)
-    prob_specs = BAProblem(
-        kf_T_cw=P(), kf_free=P(), kf_valid=P(),
-        obs_uv=P(), obs_sigma2=P(),
-        edge_mp=P(), edge_valid=P(),
-        mp_xyz=shard, mp_valid=shard,
-    )
-    line_specs = BALineProblem(
-        ln_start=shard, ln_end=shard, ln_valid=shard,
-        obs_l=P(), obs_sigma2=P(), edge_ln=P(), edge_valid=P(),
-    )
-
-    def _shard_fn(prob, lines):
-        return bundle_adjust(prob, intr, cfg, lines=lines, axis_name=EDGE_AXIS)
-
-    res_specs = BAResult(
-        kf_T_cw=P(), mp_xyz=shard, edge_inlier=P(), cost=P(),
-        ln_start=shard, ln_end=shard, line_inlier=P(),
-    )
-    ba_pl = jax.shard_map(
-        _shard_fn, mesh=mesh,
-        in_specs=(prob_specs, line_specs), out_specs=res_specs,
-    )
-    res_specs_pt = BAResult(kf_T_cw=P(), mp_xyz=shard, edge_inlier=P(), cost=P(),
-                            ln_start=None, ln_end=None, line_inlier=None)
-    ba_pt = jax.shard_map(
-        lambda prob: bundle_adjust(prob, intr, cfg, lines=None,
-                                   axis_name=EDGE_AXIS),
-        mesh=mesh, in_specs=(prob_specs,), out_specs=res_specs_pt,
-    )
 
     @jax.jit
     def run(prob: BAProblem, lines: BALineProblem | None = None) -> BAResult:
-        PL = prob.mp_xyz.shape[0]
-        prob = _pad_landmarks(prob, n_dev)
-        if lines is None:
-            out = ba_pt(prob)
-        else:
-            LL = lines.ln_start.shape[0]
-            lines = _pad_lines(lines, n_dev)
-            out = ba_pl(prob, lines)
-            out = out._replace(ln_start=out.ln_start[:LL],
-                               ln_end=out.ln_end[:LL])
-        return out._replace(mp_xyz=out.mp_xyz[:PL])
+        return shard_bundle_adjust(mesh, prob, intr, cfg, lines=lines)
 
     return run
 
 
-__all__ = ["make_dist_ba", "EDGE_AXIS"]
+__all__ = ["make_dist_ba", "shard_bundle_adjust", "EDGE_AXIS"]
