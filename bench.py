@@ -8,18 +8,27 @@ driver). Sequence mode: frames stream through `lax.scan` in chunks, so
 steady-state throughput has no per-frame host round-trips (the
 TPU-native replacement for the reference's 3-thread pipeline).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} —
+immediately after the steady-state measurement, so the headline result
+never depends on optional diagnostics completing. The wall-clock
+breakdown (`extra.wall_s`: setup / init / scan-compile / steady) makes a
+compile-time regression visible in every BENCH_r*.json. Optional
+per-stage device timing (extra standalone XLA compiles!) only runs with
+SSPL_BENCH_STAGES=1, printed as a SECOND line.
+
 Baseline = the reference's real-time target of 30 fps on a desktop CPU
 (reference README.md:13, Examples/ICL.yaml:22) — vs_baseline is our
 frames/s divided by 30.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 def main():
+    t_origin = time.time()
     import jax
     import jax.numpy as jnp
 
@@ -35,15 +44,20 @@ def main():
     n_frames = 10 + 3 * CHUNK  # init can take up to ~10 frames of parallax
     poses = synthetic.circular_trajectory(n_frames, radius=0.5)
     imgs = synthetic.render_sequence(scene, poses, cam, noise=2.0)
+    t_setup = time.time() - t_origin
 
     slam = SLAMSystem(cfg)
-    # bootstrap (two-view init) + compile the scan step on a warmup chunk
+    # bootstrap (two-view init; shares the runtime frontend program)
+    t0 = time.time()
     i = 0
     while slam.carry is None and i < 10:
         slam.track(imgs[i], i)
         i += 1
+    t_init = time.time() - t0
     imgs_dev = jnp.asarray(imgs, jnp.float32)
+    t0 = time.time()
     slam.track_sequence(imgs_dev[i : i + CHUNK], i)  # warmup/compile
+    t_scan_compile = time.time() - t0
     i += CHUNK
 
     t0 = time.time()
@@ -63,29 +77,6 @@ def main():
         ate = synthetic.ate_rmse(est, poses[ids])
     tracked = sum(1 for e in slam.log if e.T_cw is not None)
 
-    # ---- per-stage device-time breakdown: each jitted stage timed alone
-    # on one representative frame (blocked; dispatch overhead included) ----
-    from structure_slam_pointline_tpu.models import pipeline, tracking
-
-    img0 = imgs_dev[n_frames // 2]
-    frame = pipeline.build_frame_device(img0, slam.intr, cfg)
-    jax.block_until_ready(frame.xy)
-
-    def _time_ms(fn, reps=10):
-        fn()  # warm
-        t = time.time()
-        for _ in range(reps):
-            out = fn()
-        jax.block_until_ready(out)
-        return (time.time() - t) / reps * 1000.0
-
-    t_frontend = _time_ms(lambda: pipeline.build_frame_device(
-        img0, slam.intr, cfg).xy)
-    T_pred = slam.carry.T_last
-    t_track = _time_ms(lambda: tracking.track_step(
-        slam.carry.state, frame, T_pred, jnp.asarray(0), slam.intr, cfg,
-        n_kf=slam.carry.n_kf).T_cw)
-
     print(json.dumps({
         "metric": "tracked_frames_per_second",
         "value": round(fps, 2),
@@ -101,14 +92,54 @@ def main():
             "ate_rmse_sim3": round(ate, 4),
             "n_keyframes": slam.cur.n_kf,
             "n_map_points": slam.cur.n_mp,
+            "n_map_lines": slam.cur.n_ml,
             "device": str(jax.devices()[0]),
-            "stage_ms": {
-                "frontend": round(t_frontend, 2),
-                "track": round(t_track, 2),
+            # wall-clock breakdown: setup = scene render + imports;
+            # init = two-view bootstrap incl. frontend compiles;
+            # scan_compile = first slam_scan chunk (XLA compile dominated);
+            # steady = the measured steady-state window
+            "wall_s": {
+                "setup": round(t_setup, 1),
+                "init": round(t_init, 1),
+                "scan_compile": round(t_scan_compile, 1),
+                "steady": round(dt, 1),
+                "total": round(time.time() - t_origin, 1),
             },
             "counters": dict(slam.metrics.counters),
         },
-    }))
+    }), flush=True)
+
+    if os.environ.get("SSPL_BENCH_STAGES"):
+        # ---- per-stage device-time breakdown: each jitted stage timed
+        # alone on one representative frame (blocked; dispatch overhead
+        # included). These are FRESH standalone XLA compiles — opt-in so
+        # the headline bench never pays for them. ----
+        from structure_slam_pointline_tpu.models import pipeline, tracking
+
+        img0 = imgs_dev[n_frames // 2]
+        frame = pipeline.build_frame_jit(img0, slam.intr, cfg)
+        jax.block_until_ready(frame.xy)
+
+        def _time_ms(fn, reps=10):
+            fn()  # warm
+            t = time.time()
+            for _ in range(reps):
+                out = fn()
+            jax.block_until_ready(out)
+            return (time.time() - t) / reps * 1000.0
+
+        t_frontend = _time_ms(lambda: pipeline.build_frame_jit(
+            img0, slam.intr, cfg).xy)
+        T_pred = slam.carry.T_last
+        t_track = _time_ms(lambda: tracking.track_step(
+            slam.carry.state, frame, T_pred, jnp.asarray(0), slam.intr, cfg,
+            n_kf=slam.carry.n_kf).T_cw)
+        print(json.dumps({
+            "metric": "stage_ms",
+            "value": {"frontend": round(t_frontend, 2),
+                      "track": round(t_track, 2)},
+            "unit": "ms/frame",
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -44,7 +44,13 @@ class FrontendConfig:
     ExtractLineSegment.cpp:42)."""
 
     n_keypoints: int = 1024          # run-time ORB budget (ref: 1000, padded to 2^k)
-    n_keypoints_init: int = 2048     # doubled budget during initialization (ref: 2000)
+    n_keypoints_init: int = 1024     # init-time ORB budget. The reference
+    # doubles it (2000, Tracking.cc:119-120); here it defaults EQUAL to the
+    # runtime budget so initialization reuses the one compiled frontend
+    # program — a second 2048-wide frontend variant costs hundreds of
+    # seconds of XLA:TPU compile on the harness host for a marginal gain
+    # in init matches (two-view init is reliable at 1024 on the target
+    # scenes). Set higher to trade compile time for init robustness.
     n_levels: int = 8                # pyramid levels (ORBextractor.cc ctor)
     scale_factor: float = 1.2
     fast_threshold: float = 20.0     # iniThFAST (Examples/ICL.yaml:49)
@@ -74,8 +80,10 @@ class FrontendConfig:
     line_angle_tol: float = 0.3926990816987  # 22.5 deg orientation alignment tolerance
     line_min_length: float = 24.0    # min segment length in px
 
-    grid_cols: int = 64              # feature lookup grid (Frame.h:45-46: 64x48)
-    grid_rows: int = 48
+    # NOTE: the reference's 64x48 feature-lookup grid (Frame.h:45-46) has no
+    # equivalent here by design — windowed search is a dense [M, N] mask on
+    # the Hamming matrix (ops/matching.window_mask), so there are no grid
+    # shape knobs.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,7 +98,9 @@ class MatchingConfig:
     nn_ratio_init: float = 0.9       # SearchForInitialization (Tracking.cc:364)
     search_radius_motion: float = 15.0   # window for motion-model search (th=7..15, ORBmatcher)
     search_radius_reloc: float = 10.0
-    line_mad_ratio: float = 0.75     # MAD-normalized line ratio test (LSDmatcher.cpp:168-180)
+    line_mad_ratio: float = 0.5      # MAD margin gate scale: accept a line
+    # match when (second - best) > scale * 1.4826 * MAD of the margins
+    # (reference nn12_dist_th * 0.5, LSDmatcher.cpp:268-283; Frame.cc:190-216)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,8 +139,9 @@ class MapConfig:
     max_keyframes: int = 256
     max_points: int = 32768
     max_lines: int = 2048
-    max_obs_per_point: int = 24      # padded observation table width
-    max_obs_per_line: int = 16
+    # NOTE: no per-landmark observation tables exist — observations live in
+    # the [K, F] keyframe-major edge grid (world/map_store.py), so there is
+    # no obs-capacity knob.
     local_window_kf: int = 20        # covisibility neighborhood (LocalMapping.cc:371)
     covis_threshold: int = 15        # essential covisibility weight (KeyFrame.cc:301-415)
     point_cull_found_ratio: float = 0.25  # LocalMapping.cc:305

@@ -143,6 +143,7 @@ def insert_keyframe(
     dmin = dmax / (sf ** (cfg.frontend.n_levels - 1))
     st = st._replace(
         mp_normal=st.mp_normal.at[mp_ids].set(nrm, mode="drop"),
+        mp_angle=st.mp_angle.at[mp_ids].set(frame.angle, mode="drop"),
         mp_dist_max=st.mp_dist_max.at[mp_ids].set(dmax, mode="drop"),
         mp_dist_min=st.mp_dist_min.at[mp_ids].set(dmin, mode="drop"),
     )
@@ -162,8 +163,9 @@ def insert_keyframe(
 class NewPointsResult(NamedTuple):
     state: MapState
     n_new: jnp.ndarray  # scalar int32
-    n_clipped: jnp.ndarray = jnp.zeros((), jnp.int32)  # candidates dropped by
-    # the MAX_NEW_POINTS budget or a full landmark pool (silent-cap counter)
+    n_clipped: jnp.ndarray | int = 0  # candidates dropped by the
+    # MAX_NEW_POINTS budget or a full landmark pool (silent-cap counter);
+    # plain-int default so import does not initialize the JAX backend
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -294,6 +296,8 @@ def create_new_points(
     dmin = dmax / (sf ** (cfg.frontend.n_levels - 1))
     st = st._replace(
         mp_normal=st.mp_normal.at[slot].set(nrm, mode="drop"),
+        mp_angle=st.mp_angle.at[slot].set(
+            state.kf_angle[k_new][feat], mode="drop"),
         mp_dist_max=st.mp_dist_max.at[slot].set(dmax, mode="drop"),
         mp_dist_min=st.mp_dist_min.at[slot].set(dmin, mode="drop"),
     )
@@ -323,7 +327,7 @@ MAX_NEW_LINES = 64
 class NewLinesResult(NamedTuple):
     state: MapState
     n_new: jnp.ndarray
-    n_clipped: jnp.ndarray = jnp.zeros((), jnp.int32)
+    n_clipped: jnp.ndarray | int = 0
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -356,7 +360,11 @@ def create_new_lines(
 
     D = hamming.hamming_matrix(state.kf_ldesc[k_new], state.kf_ldesc[k_ref])
     allow = free1[:, None] & free2[None, :]
-    m = matching.masked_match(D, allow, max_dist=cfg.matching.th_low, ratio=0.8)
+    m = matching.masked_match(D, allow, max_dist=cfg.matching.th_low)
+    # frame-adaptive MAD margin gate (reference SearchByDescriptor KF-KF,
+    # LSDmatcher.cpp:329-380 / lineDescriptorMAD, Frame.cc:190-216)
+    m = m._replace(valid=matching.mad_margin_gate(
+        D, allow, m, scale=cfg.matching.line_mad_ratio))
 
     # planes pi = (K [R|t])^T l  (4-vectors)
     P1 = K @ T1[:3, :4]

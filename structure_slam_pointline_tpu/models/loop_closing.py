@@ -306,7 +306,8 @@ class LoopCloser:
         # coarse tree level (the DBoW2 FeatureVector level-L-4 analog,
         # ORBmatcher::SearchByBoW, ORBmatcher.cc:525) — leaf-word equality
         # starves the matcher.
-        coarse = self.voc.branching ** max(self.voc.depth - 2, 1)
+        coarse = self.voc.branching ** max(
+            self.voc.depth - self.cfg.bow.feature_level_up, 1)
         D = np.asarray(hamming.hamming_matrix(state.kf_desc[k], state.kf_desc[cand]))
         allow = (
             has_k[:, None] & has_c[None, :]
@@ -363,6 +364,7 @@ class LoopCloser:
             jnp.asarray(sig2_k.astype(np.float32)),
             jnp.asarray(sig2_c.astype(np.float32)),
             self.intr.fx, self.intr.fy, self.intr.cx, self.intr.cy,
+            n_iters_first=self.cfg.optim.sim3_iters,
         )
         n_inl = int(opt.n_inliers)
         if n_inl < 20:
@@ -456,7 +458,8 @@ class LoopCloser:
             edge_valid=jnp.ones(E, bool),
             edge_weight=jnp.asarray(weights, jnp.float32),
         )
-        S_opt = np.asarray(pose_graph.optimize_pose_graph(prob, n_iters=25))
+        S_opt = np.asarray(pose_graph.optimize_pose_graph(
+            prob, n_iters=25, lam_init=self.cfg.optim.lm_lambda_essential))
 
         # landmarks keep their camera-frame coords in the reference KF:
         # old: x_cam = T_old X ; new pose S_new  =>  X' = S_new^-1 T_old X

@@ -48,6 +48,9 @@ class SLAMCarry(NamedTuple):
     frames_since_kf: jnp.ndarray  # int32
     inliers_at_kf: jnp.ndarray    # int32
     ok: jnp.ndarray            # bool: tracking healthy
+    recover_hold: jnp.ndarray  # int32: frames left on the stricter
+    # post-recovery inlier gate (reference holds 50 inliers for
+    # mMaxFrames after relocalization, Tracking.cc:1371)
 
 
 class FrameOut(NamedTuple):
@@ -55,9 +58,10 @@ class FrameOut(NamedTuple):
     ok: jnp.ndarray            # bool
     n_inliers: jnp.ndarray     # int32
     is_kf: jnp.ndarray         # bool
-    n_dropped: jnp.ndarray = jnp.zeros((), jnp.int32)  # landmarks silently
-    # clipped this frame by fixed problem shapes (MAX_NEW_POINTS/LINES
-    # budgets + BA_LOCAL_MP/LN caps) — fed to the host metrics registry
+    n_dropped: jnp.ndarray | int = 0  # landmarks silently clipped this
+    # frame by fixed problem shapes (MAX_NEW_POINTS/LINES budgets +
+    # BA_LOCAL_MP/LN caps) — fed to the host metrics registry. Plain-int
+    # default: a jnp default would initialize the JAX backend at import.
 
 
 def build_frame_device(img: jnp.ndarray, intr: Intrinsics, cfg: SLAMConfig) -> Frame:
@@ -103,6 +107,13 @@ def build_frame_device(img: jnp.ndarray, intr: Intrinsics, cfg: SLAMConfig) -> F
         loctave=jnp.zeros((LF,), jnp.int32),
         line_valid=jnp.zeros((LF,), bool),
     )
+
+
+# One-program jit of the frontend for HOST callers (init, relocalization):
+# calling the pieces un-jitted compiles extract/lsd/lbd as SEPARATE XLA
+# programs, and per-program compile-service overhead on the axon tunnel
+# dominates (measured: pieces ~219 s vs ~74 s for the whole slam_step).
+build_frame_jit = jax.jit(build_frame_device, static_argnames=("cfg",))
 
 
 def _gather_ba_problem_device(
@@ -208,37 +219,65 @@ def slam_step(
     kf_lo = jnp.maximum(carry.n_kf - cfg.map.local_window_kf, 0)
     # when lost, search the whole map wide (relocalization-lite)
     kf_lo = jnp.where(carry.ok, kf_lo, 0)
-    with jax.named_scope("track"):
-        tr = tracking.track_step(carry.state, frame, T_pred, kf_lo, intr, cfg,
-                                 n_kf=carry.n_kf)
 
-    # fallback when the motion prediction misses: re-track from the LAST
+    # Attempt 0: motion-model pose, normal windows. Attempt 1 (only when
+    # attempt 0 lands under min_inliers_track): re-track from the LAST
     # pose with 2.5x windows — the role of TrackReferenceKeyFrame
     # (reference Tracking.cc:212: motion-model failure falls back to a
-    # wide BoW search against the reference keyframe). lax.cond: the wide
-    # pass costs nothing on healthy frames.
-    def _fallback(_):
-        with jax.named_scope("track_fallback"):
-            return tracking.track_step(
-                carry.state, frame, carry.T_last, kf_lo, intr, cfg,
-                radius_scale=2.5, n_kf=carry.n_kf,
-            )
-
-    tr = jax.lax.cond(
-        tr.n_inliers < cfg.keyframe.min_inliers_track,
-        _fallback, lambda _: tr, None,
+    # wide search against the reference keyframe). A while_loop so the
+    # track subgraph is instantiated ONCE in the XLA program (it was the
+    # two branches of a lax.cond — 2x the compile cost of the hottest
+    # subgraph); healthy frames still run a single iteration.
+    F = frame.xy.shape[0]
+    LF = frame.line2d.shape[0]
+    tr0 = tracking.TrackResult(
+        T_cw=T_pred,
+        feat_mp=jnp.full((F,), -1, jnp.int32),
+        feat_inlier=jnp.zeros((F,), bool),
+        line_ml=jnp.full((LF,), -1, jnp.int32),
+        line_inlier=jnp.zeros((LF,), bool),
+        n_inliers=jnp.asarray(-1, jnp.int32),
+        n_matches=jnp.zeros((), jnp.int32),
+        local_pt_ids=jnp.full((tracking.LOCAL_POINTS,), -1, jnp.int32),
+        visible_pt=jnp.zeros((tracking.LOCAL_POINTS,), bool),
+        local_ln_ids=jnp.full((tracking.LOCAL_LINES,), -1, jnp.int32),
+        visible_ln=jnp.zeros((tracking.LOCAL_LINES,), bool),
     )
+
+    def _track_cond(c):
+        attempt, tr = c
+        return (attempt == 0) | (
+            (attempt == 1) & (tr.n_inliers < cfg.keyframe.min_inliers_track))
+
+    def _track_body(c):
+        attempt, _ = c
+        T0 = jnp.where(attempt == 0, T_pred, carry.T_last)
+        scale = jnp.where(attempt == 0, 1.0, 2.5)
+        with jax.named_scope("track"):
+            tr = tracking.track_step(carry.state, frame, T0, kf_lo, intr, cfg,
+                                     radius_scale=scale, n_kf=carry.n_kf)
+        return attempt + 1, tr
+
+    _, tr = jax.lax.while_loop(
+        _track_cond, _track_body, (jnp.asarray(0, jnp.int32), tr0))
     with jax.named_scope("counters"):
         state = tracking.update_seen_counters(carry.state, tr, cfg)
 
     n_inl = tr.n_inliers
     # health gate at the reference's thresholds: 30 inliers to stay OK,
-    # 50 to come back from LOST (Tracking.cc:284-287)
-    ok = n_inl >= jnp.where(carry.ok, cfg.keyframe.min_inliers_healthy,
-                            cfg.keyframe.min_inliers_recover)
+    # 50 to come back from LOST — and the stricter 50 holds for
+    # max_frames frames after a recovery (Tracking.cc:284-287, 1371)
+    strict = (~carry.ok) | (carry.recover_hold > 0)
+    ok = n_inl >= jnp.where(strict, cfg.keyframe.min_inliers_recover,
+                            cfg.keyframe.min_inliers_healthy)
+    recover_hold = jnp.where(
+        ok, jnp.maximum(carry.recover_hold - 1, 0),
+        jnp.asarray(cfg.keyframe.max_frames, jnp.int32))
 
-    # keyframe decision (Tracking::NeedNewKeyFrame distilled)
+    # keyframe decision (Tracking::NeedNewKeyFrame distilled:
+    # c1a = stale, c1b = weak + min_frames elapsed, Tracking.cc:1435-1453)
     weak = n_inl < (cfg.keyframe.min_tracked_ratio * carry.inliers_at_kf.astype(jnp.float32)).astype(jnp.int32)
+    weak &= carry.frames_since_kf + 1 >= cfg.keyframe.min_frames
     stale = carry.frames_since_kf + 1 >= cfg.keyframe.max_frames
     roomy = carry.n_kf < cfg.map.max_keyframes - 1
     need_kf = (
@@ -280,6 +319,7 @@ def slam_step(
         frames_since_kf=frames_since,
         inliers_at_kf=inl_at_kf,
         ok=ok,
+        recover_hold=recover_hold,
     )
     return new_carry, FrameOut(T_cw=T_cw, ok=ok, n_inliers=n_inl,
                                is_kf=need_kf, n_dropped=n_drop)
@@ -311,7 +351,7 @@ def pack_frame_out(out: FrameOut) -> jnp.ndarray:
         out.ok.astype(jnp.float32)[None],
         out.n_inliers.astype(jnp.float32)[None],
         out.is_kf.astype(jnp.float32)[None],
-        out.n_dropped.astype(jnp.float32)[None],
+        jnp.asarray(out.n_dropped, jnp.float32).reshape(1),
     ])
 
 
@@ -327,6 +367,7 @@ def make_carry(state: MapState, T_last, velocity, n_kf: int, n_mp: int,
         frames_since_kf=jnp.asarray(0, jnp.int32),
         inliers_at_kf=jnp.asarray(inliers_at_kf, jnp.int32),
         ok=jnp.asarray(True),
+        recover_hold=jnp.asarray(0, jnp.int32),
     )
 
 

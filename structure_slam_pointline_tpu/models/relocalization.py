@@ -49,7 +49,7 @@ def relocalize(
     # FeatureVector analog (TemplatedVocabulary stores node ids at level
     # L-4 precisely so SearchByBoW gets enough candidate pairs,
     # ORBmatcher.cc:159). Leaf-level equality is far too strict.
-    coarse = lc.voc.branching ** max(lc.voc.depth - 2, 1)
+    coarse = lc.voc.branching ** max(lc.voc.depth - cfg.bow.feature_level_up, 1)
     node_f = np.asarray(words_f) // coarse
     valid_f = np.asarray(words_f) >= 0
     P = state.mp_valid.shape[0]
@@ -96,8 +96,13 @@ def relocalize(
         # grow the inlier set, then re-optimize). track_step with kf_lo=0 is
         # exactly that: project the whole map at the PnP pose, window-match,
         # chi2-gated pose LM, re-project tight, LM again.
+        # pass-1 window = search_radius_reloc (reference widens at radius
+        # 10 after the PnP pose, Tracking.cc:2071-2098)
+        reloc_scale = (cfg.matching.search_radius_reloc
+                       / cfg.matching.search_radius_motion)
         tr = tracking.track_step(state, frame, res.T_cw,
                                  jnp.asarray(0, jnp.int32), intr, cfg,
+                                 radius_scale=reloc_scale,
                                  n_kf=jnp.asarray(n_kf, jnp.int32))
         if int(tr.n_inliers) >= 2 * cfg.keyframe.min_matches_reloc:
             return np.asarray(tr.T_cw)

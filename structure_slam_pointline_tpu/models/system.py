@@ -88,16 +88,18 @@ class SLAMSystem:
         """Full device frame build — ORB AND lines (the reference extracts
         both in the Frame ctor including during initialization,
         Frame.cc:86-87), so the initial map can carry line observations.
-        `init_mode` doubles the ORB budget to n_keypoints_init (the
+        `init_mode` switches the ORB budget to n_keypoints_init (the
         reference constructs mpIniORBextractor with 2*nFeatures,
-        Tracking.cc:119-120); the initial map creation then shrinks the
-        two bootstrap frames back to the runtime pool width, keeping
+        Tracking.cc:119-120; here it DEFAULTS equal to the runtime budget
+        so init reuses the one compiled frontend program — config.py). If
+        configured differently, the initial map creation shrinks the two
+        bootstrap frames back to the runtime pool width, keeping
         triangulated features first."""
         cfg = self.cfg
         if init_mode and cfg.frontend.n_keypoints_init != cfg.frontend.n_keypoints:
             cfg = cfg.replace(frontend=dataclasses.replace(
                 cfg.frontend, n_keypoints=cfg.frontend.n_keypoints_init))
-        return pipeline.build_frame_device(
+        return pipeline.build_frame_jit(
             jnp.asarray(img, jnp.float32), self.intr, cfg)
 
     # ------------------------------------------------------------------ #
@@ -272,18 +274,10 @@ class SLAMSystem:
             self._log(frame_id, None, 0, False)
             return None
 
-        # match ref -> current in a wide window (SearchForInitialization)
-        D = hamming.hamming_matrix(self.ref_frame.desc, frame.desc)
-        allow = matching.window_mask(
-            self.ref_frame.xy, self.ref_frame.kp_valid, frame.xy, frame.kp_valid,
-            radius=100.0,
-            kp_octave=frame.octave, pred_octave=self.ref_frame.octave, octave_slack=1,
-        )
-        m = matching.masked_match(D, allow, max_dist=self.cfg.matching.th_low,
-                                  ratio=self.cfg.matching.nn_ratio_init)
-        m_valid = matching.rotation_consistency(
-            self.ref_frame.angle, frame.angle, m, self.cfg.matching.histo_bins
-        )
+        # match ref -> current, points AND lines, as ONE compiled program
+        # (SearchForInitialization + SerachForInitialize; the separate
+        # hamming/mask/match programs each paid compile-service overhead)
+        m, m_valid, ml = _init_match_device(self.ref_frame, frame, self.cfg)
         n_matches = int(m_valid.sum())
         if n_matches < self.cfg.init.min_matches:
             # too few -> make this frame the new reference (Tracking.cc:355-376)
@@ -302,23 +296,14 @@ class SLAMSystem:
         out = twoview.initialize_two_view(
             self.ref_frame.xy, frame.xy[m.idx], m_valid, jnp.asarray(sets), self.intr,
             sigma=self.cfg.init.sigma, min_triangulated=self.cfg.init.min_triangulated,
+            rh_threshold=self.cfg.init.rh_threshold,
+            min_parallax_deg=self.cfg.init.min_parallax_deg,
         )
         if not bool(out.success):
             self._log(frame_id, None, 0, False)
             return None
 
-        # line matches ref -> current (LSDmatcher::SerachForInitialize,
-        # LSDmatcher.cpp:257-285: brute-force kNN with ratio; windowed here)
-        ml = None
-        if self.cfg.use_lines:
-            Dl = hamming.hamming_matrix(self.ref_frame.ldesc, frame.ldesc)
-            mid_r = 0.5 * (self.ref_frame.line_ep[:, 0:2] + self.ref_frame.line_ep[:, 2:4])
-            mid_c = 0.5 * (frame.line_ep[:, 0:2] + frame.line_ep[:, 2:4])
-            allow_l = matching.window_mask(
-                mid_r, self.ref_frame.line_valid, mid_c, frame.line_valid, 100.0)
-            ml = matching.masked_match(
-                Dl, allow_l, max_dist=self.cfg.matching.th_high, ratio=0.8)
-
+        m = m._replace(valid=jnp.asarray(m_valid))
         T = self._create_initial_map(frame, frame_id, m, out, ml)
         self._log(frame_id, T, n_matches, True)
         return T
@@ -364,9 +349,15 @@ class SLAMSystem:
 
         st = self.map
         slots = jnp.arange(n_new)
+        # keypoint angle of the reference observation per new landmark
+        # (rotation-consistency histogram input, ORBmatcher.cc:440-470)
+        ang_ref = np.asarray(ref_frame.angle)
+        # shrunk frames keep triangulated features first (slots 0..n_new)
+        ang_new = ang_ref[:n_new] if ref_frame is not self.ref_frame else ang_ref[ids]
         st = st._replace(
             mp_xyz=st.mp_xyz.at[slots].set(jnp.asarray(X[ids])),
             mp_valid=st.mp_valid.at[slots].set(True),
+            mp_angle=st.mp_angle.at[slots].set(jnp.asarray(ang_new)),
             mp_first_kf=st.mp_first_kf.at[slots].set(0),
             mp_last_kf=st.mp_last_kf.at[slots].set(1),
             mp_visible=st.mp_visible.at[slots].set(2),
@@ -601,6 +592,7 @@ class SLAMSystem:
         if self.carry is not None:
             self.cur.n_kf = int(self.carry.n_kf)
             self.cur.n_mp = int(self.carry.n_mp)
+            self.cur.n_ml = int(self.carry.n_ml)
 
     def trajectory(self) -> dict:
         """frame_id -> T_cw for all tracked frames."""
@@ -644,12 +636,50 @@ class SLAMSystem:
                 )
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
+def _init_match_device(ref: Frame, cur: Frame, cfg: SLAMConfig):
+    """Two-view bootstrap matching, points + lines, one XLA program.
+
+    Points: wide-window octave-gated match with ratio + 30-bin rotation
+    histogram (reference ORBmatcher::SearchForInitialization,
+    ORBmatcher.cc:408-523). Lines: midpoint-window LBD match with the
+    frame-adaptive MAD margin gate (LSDmatcher::SerachForInitialize,
+    LSDmatcher.cpp:257-285). Returns (point MatchResult, rotation-gated
+    valid mask, line MatchResult or None)."""
+    D = hamming.hamming_matrix(ref.desc, cur.desc)
+    allow = matching.window_mask(
+        ref.xy, ref.kp_valid, cur.xy, cur.kp_valid, radius=100.0,
+        kp_octave=cur.octave, pred_octave=ref.octave, octave_slack=1,
+    )
+    m = matching.masked_match(D, allow, max_dist=cfg.matching.th_low,
+                              ratio=cfg.matching.nn_ratio_init)
+    m_valid = matching.rotation_consistency(
+        ref.angle, cur.angle, m, cfg.matching.histo_bins)
+    ml = None
+    if cfg.use_lines:
+        Dl = hamming.hamming_matrix(ref.ldesc, cur.ldesc)
+        mid_r = 0.5 * (ref.line_ep[:, 0:2] + ref.line_ep[:, 2:4])
+        mid_c = 0.5 * (cur.line_ep[:, 0:2] + cur.line_ep[:, 2:4])
+        allow_l = matching.window_mask(
+            mid_r, ref.line_valid, mid_c, cur.line_valid, 100.0)
+        ml = matching.masked_match(Dl, allow_l, max_dist=cfg.matching.th_high)
+        ml = ml._replace(valid=matching.mad_margin_gate(
+            Dl, allow_l, ml, scale=cfg.matching.line_mad_ratio))
+    return m, m_valid, ml
+
+
 def _shrink_to_budget(frame: Frame, priority: np.ndarray, F: int) -> Frame:
     """Reduce an init-budget frame to the runtime feature-pool width F,
     placing `priority` features (triangulated init matches) at the front;
     the remainder fills with the other detections in selection order.
     Line fields pass through untouched (the line budget is not doubled)."""
     F2 = frame.xy.shape[0]
+    # `priority` is duplicate-free: masked_match's unique_cols tie-break
+    # is strict (ops/matching.py), so each feature column is claimed by
+    # exactly one query row
     rest = np.setdiff1d(np.arange(F2), priority)
     perm = np.concatenate([priority, rest])[:F].astype(np.int32)
     sel = jnp.asarray(perm)

@@ -127,7 +127,7 @@ def _covis_local_sets(state: MapState, votes: jnp.ndarray, n_kf: jnp.ndarray):
 
 def _match_points(
     state: MapState, frame: Frame, T_cw, ids_ok, safe_ids, intr, cfg: SLAMConfig,
-    radius_scale: float,
+    radius_scale: float, check_rotation: bool = False,
 ):
     """Project local points and match into the frame. Returns per-local-point
     (uv of matched feature, feature idx, match mask, visible mask)."""
@@ -164,6 +164,16 @@ def _match_points(
     )
     m = matching.masked_match(D, allow, max_dist=cfg.matching.th_high,
                               ratio=cfg.matching.nn_ratio_tracking)
+    if check_rotation:
+        # 30-bin rotation-consistency histogram between the landmark's
+        # last observed keypoint angle and the matched feature's angle —
+        # the reference applies this in every frame-to-frame
+        # SearchByProjection (ORBmatcher.cc:1441-1471); its local-map
+        # projection search (cc:45) has no angles to compare, like our
+        # pass 2
+        m = m._replace(valid=matching.rotation_consistency(
+            state.mp_angle[safe_ids], frame.angle, m,
+            n_bins=cfg.matching.histo_bins))
     return m, visible, uv
 
 
@@ -225,10 +235,12 @@ def track_step(
     pt_sigma2 = _scale_sigma2(frame.octave, cfg.frontend.scale_factor)
     ln_sigma2 = _scale_sigma2(frame.loctave, cfg.frontend.line_scale_factor)
 
-    def one_round(T, radius_scale, line_radius, pts, lns):
+    def one_round(T, radius_scale, line_radius, pts, lns, check_rotation=False):
         pt_ids, pt_ok, pt_safe = pts
         ln_ids, ln_ok, ln_safe = lns
-        m, visible, _ = _match_points(state, frame, T, pt_ok, pt_safe, intr, cfg, radius_scale)
+        m, visible, _ = _match_points(state, frame, T, pt_ok, pt_safe, intr,
+                                      cfg, radius_scale,
+                                      check_rotation=check_rotation)
         lm, lvis = _match_lines(state, frame, T, ln_ok, ln_safe, intr, cfg, line_radius)
         # build pose-opt problem over local slots
         obs_uv = frame.xy[m.idx]
@@ -248,7 +260,7 @@ def track_step(
     with jax.named_scope("pass1"):
         res1, m1, vis1, lm1, lvis1 = one_round(
             T_pred, cfg.matching.search_radius_motion * radius_scale,
-            30.0 * radius_scale, pts1, lns1,
+            30.0 * radius_scale, pts1, lns1, check_rotation=True,
         )
     # pass 2: covisibility local map at the refined pose, tight radius
     pt_ids1 = pts1[0]

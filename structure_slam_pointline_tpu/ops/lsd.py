@@ -126,6 +126,45 @@ _N_DOUBLINGS = 4  # support window = 2^4 steps each way (>= 32 px at |v| >= 2;
                   # the support gate needs only 0.75*line_min_length = 18 px,
                   # and ranking among longer lines saturates anyway)
 
+# per-direction constants for the scanned support pass (see detect_lines):
+# (vx, vy, rounded unit normal nx, ny) as int32; (theta, |v|) as float32
+import numpy as _np
+
+_DIR_I = _np.asarray(
+    [
+        (vx, vy,
+         int(_np.round(-vy / _np.hypot(vx, vy))),
+         int(_np.round(vx / _np.hypot(vx, vy))))
+        for vx, vy in _DIR_VECS
+    ], _np.int32)
+_DIR_F = _np.asarray(
+    [
+        (float(_np.mod(_np.arctan2(vy, vx), _np.pi)), float(_np.hypot(vx, vy)))
+        for vx, vy in _DIR_VECS
+    ], _np.float32)
+_DYN_PAD = 4 * (1 << (_N_DOUBLINGS - 1))  # largest dynamic shift = |v| * 2^(D-1)
+
+
+def _dyn_shift(m: jnp.ndarray, dx, dy, pad: int = _DYN_PAD) -> jnp.ndarray:
+    """`_shift` with TRACED offsets: one zero-pad + one dynamic_slice.
+
+    Lets the 16-direction support pass run as a lax.scan over a direction
+    table (one compiled body) instead of 16 inlined copies — XLA:TPU
+    compile time, not FLOPs, is the pipeline's scarcest resource."""
+    h, w = m.shape
+    mp = jnp.pad(m, pad)
+    return jax.lax.dynamic_slice(mp, (pad + dy, pad + dx), (h, w))
+
+
+def _dyn_support_sum(m: jnp.ndarray, vx, vy) -> jnp.ndarray:
+    """`_support_sum` with traced direction (log-doubling partial sums)."""
+    s = m
+    step = 1
+    for _ in range(_N_DOUBLINGS):
+        s = s + _dyn_shift(s, vx * step, vy * step)
+        step *= 2
+    return s
+
 
 def _shift(m: jnp.ndarray, dx: int, dy: int, fill=0.0) -> jnp.ndarray:
     """Value at (y + dy, x + dx); `fill` outside the image (no wrap).
@@ -212,31 +251,35 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
     # ---- dense support pass: gap-tolerant aligned support through every
     # pixel, per quantized direction, via log-doubling sums (no gathers).
     # The pairwise-consecutive gate (m & m+v) separates lines (support ~ p)
-    # from texture (support ~ p^2) without data-dependent region growing ----
-    import numpy as _np
-
-    best_score = jnp.zeros((hs, ws), jnp.float32)
-    for _d, (vx, vy) in enumerate(_DIR_VECS):
-        vlen = float(_np.hypot(vx, vy))
-        th = float(_np.mod(_np.arctan2(vy, vx), _np.pi))
+    # from texture (support ~ p^2) without data-dependent region growing.
+    # Runs as a lax.scan over the 16-direction table — ONE compiled body
+    # (dynamic shifts) instead of 16 inlined copies; unroll=4 keeps loop
+    # boundaries per frame in the tens-of-us range. ----
+    def _dir_body(best, xs):
+        di, df = xs
+        vx, vy, nx, ny = di[0], di[1], di[2], di[3]
+        th, vlen = df[0], df[1]
         aligned_d = _angle_diff(line_ang, th) < cfg.line_angle_tol
         cont = (weak & aligned_d).astype(jnp.bfloat16)
         # lateral 1 px dilation (rounded unit normal): tolerates the
         # anti-aliased ridge wandering off the direction lattice
-        nx = int(_np.round(-vy / vlen))
-        ny = int(_np.round(vx / vlen))
         contd = jnp.maximum(
-            cont, jnp.maximum(_shift(cont, nx, ny), _shift(cont, -nx, -ny))
+            cont, jnp.maximum(_dyn_shift(cont, nx, ny), _dyn_shift(cont, -nx, -ny))
         )
-        pair = contd * _shift(contd, vx, vy)
-        sup = _support_sum(pair, vx, vy) + _support_sum(pair, -vx, -vy)
+        pair = contd * _dyn_shift(contd, vx, vy)
+        sup = _dyn_support_sum(pair, vx, vy) + _dyn_support_sum(pair, -vx, -vy)
         support_px = sup.astype(jnp.float32) * (vlen * ds)   # full-res px
         score_d = jnp.where(
             is_peak & aligned_d & (support_px >= 0.75 * cfg.line_min_length),
             support_px * smagf,
             0.0,
         )
-        best_score = jnp.maximum(best_score, score_d)
+        return jnp.maximum(best, score_d), None
+
+    best_score, _ = jax.lax.scan(
+        _dir_body, jnp.zeros((hs, ws), jnp.float32),
+        (jnp.asarray(_DIR_I), jnp.asarray(_DIR_F)), unroll=4,
+    )
 
     # spatially-spread candidates (per-cell cap, reuse the keypoint selector);
     # cell/border shrink with ds so spatial density is resolution-invariant

@@ -55,13 +55,16 @@ def masked_match(
     if ratio < 1.0:
         ok &= best.astype(jnp.float32) < ratio * jnp.minimum(second, _BIG).astype(jnp.float32)
     if unique_cols:
-        # winner per column: row with min distance among rows selecting it
-        col_d = jnp.where(ok, best, _BIG)
-        col_best = (
-            jnp.full((n,), _BIG, col_d.dtype).at[best_j].min(col_d)
-        )
-        ok &= col_best[best_j] >= jnp.minimum(col_d, _BIG)
-        ok &= col_d < _BIG
+        # winner per column: row with min distance among rows selecting
+        # it; exact-distance ties break STRICTLY by the lowest row index,
+        # so a column is claimed by exactly one row (the reference's
+        # duplicate-erase keeps one match per feature too)
+        row_ids = jnp.arange(m, dtype=best.dtype)
+        # lexicographic (dist, row) key; valid rows have dist <= max_dist
+        # (<= 256), so key stays far from the _BIG sentinel
+        key = jnp.where(ok, best * m + row_ids, _BIG)
+        col_best = jnp.full((n,), _BIG, key.dtype).at[best_j].min(key)
+        ok &= col_best[best_j] == key
     return MatchResult(idx=best_j.astype(jnp.int32), dist=best.astype(jnp.int32), valid=ok)
 
 
@@ -109,6 +112,44 @@ def rotation_consistency(
     return match.valid & keep
 
 
+def _masked_median(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Median of x over valid entries (0 when none)."""
+    n = jnp.sum(valid).astype(jnp.int32)
+    xs = jnp.sort(jnp.where(valid, x, jnp.inf))
+    idx = jnp.clip((n - 1) // 2, 0, x.shape[0] - 1)
+    med = xs[idx]
+    return jnp.where(n > 0, med, 0.0)
+
+
+def mad_margin_gate(
+    dist: jnp.ndarray,       # [M, N] Hamming matrix
+    allow: jnp.ndarray,      # [M, N] candidate mask (same as masked_match's)
+    match: MatchResult,      # result of masked_match on (dist, allow)
+    scale: float = 0.5,      # cfg.matching.line_mad_ratio
+) -> jnp.ndarray:
+    """MAD-normalized best-vs-second margin test for line matches.
+
+    The reference's line matchers (LSDmatcher::SerachForInitialize,
+    LSDmatcher.cpp:257-283; SearchByDescriptor KF-KF, 329-380) accept a
+    kNN match only when `second_dist - best_dist` exceeds
+    scale * 1.4826 * MAD of that margin across the frame's matches
+    (Frame::lineDescriptorMAD, reference src/Frame.cc:190-216; the 0.5
+    scale is `nn12_dist_th * 0.5` at LSDmatcher.cpp:270). An adaptive
+    distinctiveness gate: frames full of similar lines demand a larger
+    margin. Returns the updated valid mask."""
+    m, n = dist.shape
+    d = jnp.where(allow, dist, _BIG).astype(jnp.float32)
+    best = jnp.min(d, axis=1)
+    masked2 = d + jax.nn.one_hot(match.idx, n, dtype=d.dtype) * _BIG
+    second = jnp.minimum(jnp.min(masked2, axis=1), float(_BIG))
+    margin = jnp.where(second < _BIG, second - best, 255.0)
+    has = match.valid
+    med = _masked_median(margin, has)
+    mad = _masked_median(jnp.abs(margin - med), has)
+    th = scale * 1.4826 * mad
+    return match.valid & (margin > th)
+
+
 def predict_octave(dist: jnp.ndarray, max_dist: jnp.ndarray, scale_factor: float,
                    n_levels: int) -> jnp.ndarray:
     """Scale-band octave prediction (MapPoint::PredictScale equivalent)."""
@@ -119,5 +160,5 @@ def predict_octave(dist: jnp.ndarray, max_dist: jnp.ndarray, scale_factor: float
 
 __all__ = [
     "MatchResult", "masked_match", "window_mask", "rotation_consistency",
-    "predict_octave",
+    "mad_margin_gate", "predict_octave",
 ]

@@ -284,6 +284,8 @@ def initialize_two_view(
     intr: Intrinsics,
     sigma: float = 1.0,
     min_triangulated: int = 50,
+    rh_threshold: float = 0.40,
+    min_parallax_deg: float = 0.5,
 ) -> TwoViewResult:
     """Full two-view bootstrap. Degenerate/failed cases return success=False."""
     sigma2 = sigma * sigma
@@ -311,7 +313,7 @@ def initialize_two_view(
     inlH = okH[bestH]
 
     RH = SH / jnp.maximum(SH + SF, 1e-12)
-    use_H = RH > 0.40
+    use_H = RH > rh_threshold  # model select (Initializer.cc:143)
 
     # --- reconstruct from F: E = K' F K, 4 candidates ---
     E = K.T @ F_best @ K
@@ -343,7 +345,7 @@ def initialize_two_view(
         (n_best >= min_triangulated)
         & (n_best.astype(jnp.float32) >= 0.75 * n_inliers.astype(jnp.float32))
         & (second.astype(jnp.float32) < 0.9 * n_best.astype(jnp.float32))
-        & (par[best] > 0.5)
+        & (par[best] > min_parallax_deg)
     )
     return TwoViewResult(
         success=ok,

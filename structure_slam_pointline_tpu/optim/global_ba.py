@@ -96,6 +96,8 @@ def global_bundle_adjust(state: MapState, n_kf: int, intr: Intrinsics,
     if n_kf <= max_kf:
         return _run_window(state, 0, n_kf, intr, cfg, 0, mesh, metrics,
                            kl=max_kf)
+    # a non-positive stride would spin the tile loop forever
+    frontier = min(frontier, max_kf - 1)
     stride = max_kf - frontier
     for _sweep in range(GBA_SWEEPS):
         lo = 0

@@ -481,8 +481,13 @@ def bundle_adjust(prob: BAProblem, intr: Intrinsics, cfg: OptimConfig,
             return T_new, X + dxp, Xs, Xe, cost
 
         state = (T, X, Xs, Xe, jnp.asarray(0.0, dtype))
-        for _ in range(n_iters):   # unrolled: bodies are us-scale op chains
-            state = iter_body(state)
+        # fori_loop: ONE iteration body per phase in the XLA program
+        # instead of 5 + 10 — the iteration body (with line blocks) is the
+        # largest subgraph in the whole pipeline and XLA:TPU compile time
+        # on the harness host is the scarce resource. BA runs only on
+        # keyframes, so the ~us-scale loop boundaries are amortized.
+        state = jax.lax.fori_loop(0, n_iters, lambda i, s: iter_body(s),
+                                  state, unroll=False)
         return state
 
     # phase 1: all edges

@@ -47,8 +47,11 @@ def _edge_residual(S_i, S_j, S_ji_meas):
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
-def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20) -> jnp.ndarray:
-    """Returns optimized S_cw [K, 4, 4]."""
+def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20,
+                        lam_init: float = 1e-6) -> jnp.ndarray:
+    """Returns optimized S_cw [K, 4, 4]. `lam_init` is the LM damping
+    seed (the reference seeds the essential-graph solver with 1e-16,
+    Optimizer.cc:1609 — cfg.optim.lm_lambda_essential)."""
     K = prob.S_cw.shape[0]
     E = prob.edge_i.shape[0]
     dtype = prob.S_cw.dtype
@@ -116,7 +119,7 @@ def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20) -> jnp.ndarra
 
     S_out, _, _ = jax.lax.fori_loop(
         0, n_iters, iter_body,
-        (prob.S_cw, jnp.asarray(1e-6, dtype), jnp.asarray(0.0, dtype)),
+        (prob.S_cw, jnp.asarray(lam_init, dtype), jnp.asarray(0.0, dtype)),
     )
     return S_out
 
@@ -127,7 +130,7 @@ class Sim3PairResult(NamedTuple):
     n_inliers: jnp.ndarray  # scalar int32
 
 
-@partial(jax.jit, static_argnames=("fix_scale",))
+@partial(jax.jit, static_argnames=("fix_scale", "n_iters_first"))
 def optimize_sim3_pair(
     S12: jnp.ndarray,       # [4, 4] initial Sim3 (e.g. Horn RANSAC output)
     X1: jnp.ndarray,        # [N, 3] matched landmarks in camera-1 coords
@@ -140,6 +143,7 @@ def optimize_sim3_pair(
     fx: float, fy: float, cx: float, cy: float,
     chi2_th: float = 10.0,
     fix_scale: bool = False,
+    n_iters_first: int = 5,
 ) -> Sim3PairResult:
     """Inlier-gated Sim3 refinement between two keyframes — the
     reference's Optimizer::OptimizeSim3 (src/Optimizer.cc:1864-2062):
@@ -228,7 +232,7 @@ def optimize_sim3_pair(
         (S, _), _ = jax.lax.scan(body, (S, jnp.asarray(1e-3, dtype)), None, length=n)
         return S
 
-    S_a = lm_iters(S12, valid, 5)
+    S_a = lm_iters(S12, valid, n_iters_first)
     r = edge_residuals(z7, S_a)
     c1, c2 = chi2_pair(r)
     keep = valid & (c1 <= chi2_th) & (c2 <= chi2_th)

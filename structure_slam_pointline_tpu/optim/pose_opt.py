@@ -189,9 +189,9 @@ def pose_optimize(
             T = lie.se3_exp(dx) @ T
             return T, lam, cost
 
-        # fully unrolled: each iteration's body is a handful of ~us-scale
-        # fused ops, so while-loop boundaries (not FLOPs) dominate — the
-        # profiled pose-LM cost is ~58 us/iteration of pure loop overhead
+        # inner GN iterations stay unrolled (each body is a handful of
+        # us-scale fused ops — a while boundary per iteration would
+        # dominate), but see the round loop below
         state = (T, jnp.asarray(cfg.lm_lambda_init, dtype), jnp.asarray(0.0, dtype))
         for _ in range(cfg.pose_iters):
             state = gn_iter(state)
@@ -204,10 +204,12 @@ def pose_optimize(
         ln_mask,
         jnp.asarray(0.0, dtype),
     )
-    # rounds also unrolled: 4 boundaries/opt x 2 opts/frame of while
-    # overhead is measurable at this op granularity
-    for rnd in range(cfg.pose_rounds):
-        carry = round_body(jnp.asarray(rnd, jnp.int32), carry)
+    # ROUNDS run as fori_loop: one round body in the XLA program instead
+    # of four. XLA:TPU compile on the 2-vCPU harness host is the system's
+    # scarcest resource (pose LM is instantiated 2x per slam_step); the
+    # 4 loop boundaries per optimize cost ~us-scale against a ~ms frame.
+    carry = jax.lax.fori_loop(0, cfg.pose_rounds, round_body, carry,
+                              unroll=False)
     T, pt_in, ln_in, cost = carry
 
     # final classification at the optimized pose

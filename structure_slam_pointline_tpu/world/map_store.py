@@ -70,6 +70,10 @@ class MapState(NamedTuple):
     mp_valid: jnp.ndarray      # [P] bool
     mp_desc: jnp.ndarray       # [P, 8] uint32 distinctive descriptor
     mp_normal: jnp.ndarray     # [P, 3] mean viewing direction
+    mp_angle: jnp.ndarray      # [P] keypoint angle at the most recent KF
+    # observation — the reference's rotation-consistency histogram compares
+    # current-frame angles with the matched feature's angle in the previous
+    # frame/KF (ORBmatcher.cc:440-470, 1441-1471)
     mp_dist_min: jnp.ndarray   # [P] scale-invariance band
     mp_dist_max: jnp.ndarray   # [P]
     mp_first_kf: jnp.ndarray   # [P] int32
@@ -137,6 +141,7 @@ def init_map(cfg: SLAMConfig, n_features: int | None = None) -> MapState:
         mp_valid=jnp.zeros(P, bool),
         mp_desc=jnp.zeros((P, 8), jnp.uint32),
         mp_normal=jnp.zeros((P, 3), f32),
+        mp_angle=jnp.zeros(P, f32),
         mp_dist_min=jnp.zeros(P, f32),
         mp_dist_max=jnp.full((P,), 1e9, f32),
         mp_first_kf=jnp.full((P,), -1, i32),

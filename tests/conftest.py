@@ -9,12 +9,28 @@ with the TPU platform preselected, so plain env vars are too late —
 """
 
 import os
+import resource
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# XLA:CPU compiles of the full-size frontend recurse deeply; the default
+# 8 MB stack segfaulted the round-2 suite inside the compilation path.
+try:
+    resource.setrlimit(resource.RLIMIT_STACK,
+                       (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+except (ValueError, OSError):
+    soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (hard, hard))
+    except (ValueError, OSError):
+        pass
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# the executable (de)serialization path of the compilation cache is what
+# crashed the round-2 suite; tests recompile instead
+jax.config.update("jax_enable_compilation_cache", False)
