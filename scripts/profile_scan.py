@@ -1,7 +1,9 @@
 """Profile the scan pipeline on the current device and print top ops.
 
-Captures a jax.profiler trace around one 25-frame scan chunk and
-aggregates device op durations from the exported Chrome trace.
+Captures a jax.profiler trace around one SCAN_CHUNK-frame scan chunk and
+aggregates device op durations from the exported Chrome trace, both by
+named_scope stage (frontend / track / pass1 / pass2 / covis / kf
+pipeline ...) and by individual op.
 
 Usage: python scripts/profile_scan.py [trace_dir]
 """
@@ -14,6 +16,11 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STAGES = (
+    "frontend", "lsd", "lbd", "track", "pass1", "pass2", "covis_local_map",
+    "counters", "kf_pipeline", "ba", "fuse", "cull", "triangulate",
+)
 
 
 def main():
@@ -28,31 +35,45 @@ def main():
     cam = CameraConfig(fy=480.0)
     cfg = SLAMConfig(camera=cam)
     scene = synthetic.make_room_scene(n_points=350, n_lines=20, seed=0)
-    poses = synthetic.circular_trajectory(30, radius=0.5)
+    CHUNK = SLAMSystem.SCAN_CHUNK
+    n = 10 + 2 * CHUNK
+    poses = synthetic.circular_trajectory(n, radius=0.5)
     imgs = synthetic.render_sequence(scene, poses, cam, noise=2.0)
     s = SLAMSystem(cfg)
     i = 0
-    while s.carry is None and i < 6:
+    while s.carry is None and i < 10:
         s.track(imgs[i], i)
         i += 1
     imgs_dev = jnp.asarray(imgs, jnp.float32)
-    s.track_sequence(imgs_dev[i : i + 25], i)  # warm/compile
+    s.track_sequence(imgs_dev[i : i + CHUNK], i)  # warm/compile
+    i += CHUNK
     jax.profiler.start_trace(trace_dir)
-    s.track_sequence(imgs_dev[i : i + 25], i)
+    s.track_sequence(imgs_dev[i : i + CHUNK], i)
     jax.profiler.stop_trace()
 
     traces = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
     with gzip.open(traces[-1]) as f:
         data = json.load(f)
+    # keep only device-lane events (TensorFlow Op / XLA Ops lanes carry the
+    # hierarchical op names; host python lanes would double count)
     tot = collections.Counter()
     cnt = collections.Counter()
+    stage_tot = collections.Counter()
     for e in data.get("traceEvents", []):
         if e.get("ph") == "X" and "dur" in e:
-            tot[e.get("name", "?")] += e["dur"]
-            cnt[e.get("name", "?")] += 1
-    print("top device/host ops by total time (25 frames):")
+            name = e.get("name", "?")
+            tot[name] += e["dur"]
+            cnt[name] += 1
+            for st in STAGES:
+                if f"/{st}/" in name or name.startswith(f"{st}/"):
+                    stage_tot[st] += e["dur"]
+                    break
+    print(f"per-stage device time ({CHUNK} frames):")
+    for st, us in stage_tot.most_common():
+        print(f"{us/1000:9.1f} ms  {us/CHUNK:8.0f} us/frame  {st}")
+    print(f"\ntop ops by total time ({CHUNK} frames):")
     for name, us in tot.most_common(40):
-        print(f"{us/1000:9.1f} ms  x{cnt[name]:5d}  {name[:100]}")
+        print(f"{us/1000:9.1f} ms  x{cnt[name]:5d}  {name[:110]}")
 
 
 if __name__ == "__main__":

@@ -193,8 +193,10 @@ def create_new_points(
     free1 = state.kf_kp_valid[k_new] & (state.kf_kp_mp[k_new] < 0)
     free2 = state.kf_kp_valid[k_ref] & (state.kf_kp_mp[k_ref] < 0)
 
+    from structure_slam_pointline_tpu.utils import lie as _lie
+
     # fundamental matrix F12 = K^-T [t]x R K^-1 (LocalMapping.cc:1286-1303)
-    T12 = T1 @ jnp.linalg.inv(T2)
+    T12 = T1 @ _lie.se3_inverse(T2)  # closed-form rigid inverse (no LU loop)
     R12, t12 = T12[:3, :3], T12[:3, 3]
     tx = jnp.array(
         [
@@ -203,7 +205,13 @@ def create_new_points(
             [-t12[1], t12[0], 0.0],
         ]
     )
-    Kinv = jnp.linalg.inv(K)
+    # closed-form inverse of the upper-triangular K
+    z = jnp.zeros(())
+    Kinv = jnp.stack([
+        jnp.stack([1.0 / intr.fx, z, -intr.cx / intr.fx]),
+        jnp.stack([z, 1.0 / intr.fy, -intr.cy / intr.fy]),
+        jnp.stack([z, z, jnp.ones(())]),
+    ])
     F12 = Kinv.T @ tx @ R12 @ Kinv
 
     uv1 = state.kf_xy[k_new]

@@ -145,6 +145,23 @@ def _gather_ba_problem_device(
     return lm._gather_ba_device(state, local_kf, free, cfg)
 
 
+NB_TRIANGULATE = 4  # covisible neighbors searched for new points per KF
+
+
+def _renorm_se3(T: jnp.ndarray) -> jnp.ndarray:
+    """One Newton polar step R <- R (3I - R^T R) / 2 on the rotation block.
+
+    Left-multiplied LM retractions (se3_exp(dx) @ T) can never remove a
+    non-orthogonal factor already in T, so f32 round-off drift off SO(3)
+    compounds exponentially frame-over-frame (measured x2.4/frame once the
+    closed-form rigid inverse replaced the LU inverse in the velocity
+    update). One quadratically-convergent polar step per frame pins the
+    orthogonality error at round-off; pure 3x3 matmuls, fully fusable."""
+    R = T[..., :3, :3]
+    R = 0.5 * R @ (3.0 * jnp.eye(3, dtype=T.dtype) - jnp.swapaxes(R, -1, -2) @ R)
+    return T.at[..., :3, :3].set(R)
+
+
 def _keyframe_pipeline(
     state: MapState, frame: Frame, tr: tracking.TrackResult,
     n_kf: jnp.ndarray, n_mp: jnp.ndarray, n_ml: jnp.ndarray, frame_id: jnp.ndarray,
@@ -161,14 +178,24 @@ def _keyframe_pipeline(
     # the reference's UpdateConnections -> GetBestCovisibilityKeyFrames
     # pattern (KeyFrame.cc:301-415, LocalMapping.cc:375-440)
     covis_w = map_store.covisibility_weights(st, k)
-    top_w, top_n = jax.lax.top_k(covis_w, 2)
-    nb1 = jnp.where(top_w[0] > 0, top_n[0], jnp.maximum(k - 1, 0))
-    nb2 = jnp.where(top_w[1] > 0, top_n[1], jnp.maximum(k - 2, 0))
-    out1 = lm.create_new_points(st, k, nb1, n_mp, intr, cfg)
-    st, n_mp = out1.state, n_mp + out1.n_new
-    out2 = lm.create_new_points(st, k, nb2, n_mp, intr, cfg)
-    st, n_mp = out2.state, n_mp + out2.n_new
-    n_dropped = out1.n_clipped + out2.n_clipped
+    # triangulate against the NB_TRIANGULATE strongest covisible neighbors
+    # (the reference searches ~20 covisible KFs, LocalMapping.cc:371-440).
+    # Each pass re-reads the updated bindings, so features bound by an
+    # earlier neighbor are not re-triangulated; fori_loop keeps ONE
+    # compiled triangulation body regardless of neighbor count.
+    NB = NB_TRIANGULATE
+    top_w, top_n = jax.lax.top_k(covis_w, NB)
+    nbs = jnp.where(top_w > 0, top_n,
+                    jnp.maximum(k - 1 - jnp.arange(NB), 0))
+    nb1 = nbs[0]
+
+    def _tri_body(i, c):
+        st, n_mp, n_drop = c
+        out = lm.create_new_points(st, k, nbs[i], n_mp, intr, cfg)
+        return out.state, n_mp + out.n_new, n_drop + out.n_clipped
+
+    st, n_mp, n_dropped = jax.lax.fori_loop(
+        0, NB, _tri_body, (st, n_mp, jnp.zeros((), jnp.int32)))
     if cfg.use_lines:
         outl = lm.create_new_lines(st, k, nb1, n_ml, intr, cfg)
         st, n_ml = outl.state, n_ml + outl.n_new
@@ -305,9 +332,14 @@ def slam_step(
         need_kf, do_kf, no_kf, (state, frame, tr)
     )
 
+    from structure_slam_pointline_tpu.utils import lie as _lie
     T_cw = jnp.where(ok, T_cw, T_pred)  # coast on the motion model when lost
+    T_cw = _renorm_se3(T_cw)
+    # closed-form rigid inverse (jnp.linalg.inv is a sequential LU while
+    # loop on TPU and this runs every frame); sound because _renorm_se3
+    # keeps T_last on SO(3)
     velocity = jnp.where(
-        ok, T_cw @ jnp.linalg.inv(carry.T_last), carry.velocity
+        ok, T_cw @ _lie.se3_inverse(carry.T_last), carry.velocity
     )
     new_carry = SLAMCarry(
         state=state,

@@ -40,9 +40,47 @@ class PoseOptResult(NamedTuple):
     chi2: jnp.ndarray           # scalar total robust cost
 
 
+def _chol_solve6(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled 6x6 Cholesky solve in pure elementwise ops.
+
+    `jnp.linalg.solve` lowers to a sequential LU while-loop on TPU — tens
+    of microseconds of serial scalar work per call, and the pose LM calls
+    it every GN iteration (48x per frame). The unrolled factorization is
+    a flat chain of ~150 scalar ops XLA fuses into the surrounding
+    iteration for free."""
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _solve_damped(H: jnp.ndarray, g: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     A = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
-    return jnp.linalg.solve(A, g)
+    return _chol_solve6(A, g)
 
 
 def _edge_planes(T, X, intr):
