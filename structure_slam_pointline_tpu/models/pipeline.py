@@ -226,6 +226,9 @@ def _keyframe_pipeline(
     cull_w, cull_i = jax.lax.top_k(covis_w, min(lm.KF_CULL_WINDOW, covis_w.shape[0]))
     cand_ids = jnp.where(cull_w > 0, cull_i, -1)
     st = lm.cull_keyframes(st, k + 1, cfg, obs=obs, cand_ids=cand_ids)
+    # refresh the observer bitmasks from the final edge grid (fuel for the
+    # per-frame covisibility voting; once per KF event, exact)
+    st = st._replace(mp_obs_bits=map_store.compute_obs_bits(st))
     # the tracked pose may have moved in BA
     T_new = st.kf_T_cw[k]
     return st, n_mp, n_ml, k + 1, T_new, n_dropped

@@ -401,6 +401,7 @@ class SLAMSystem:
             st, jnp.asarray(1), jnp.asarray(frame_id), jnp.asarray(T1),
             frame, jnp.asarray(mp_of_feat1), jnp.asarray(line_ml1), self.cfg,
         )
+        st = st._replace(mp_obs_bits=map_store.compute_obs_bits(st))
         self.map = st
         self.cur.n_kf = 2
         self.cur.n_mp = n_new

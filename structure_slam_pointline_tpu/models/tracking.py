@@ -262,12 +262,14 @@ def track_step(
             T_pred, cfg.matching.search_radius_motion * radius_scale,
             30.0 * radius_scale, pts1, lns1, check_rotation=True,
         )
-    # pass 2: covisibility local map at the refined pose, tight radius
-    pt_ids1 = pts1[0]
-    matched_pt = jnp.zeros(P, bool).at[
-        jnp.where(m1.valid & res1.point_inliers, pt_ids1, P)
-    ].set(True, mode="drop")
-    votes = map_store.kf_match_votes(state, matched_pt)
+    # pass 2: covisibility local map at the refined pose, tight radius.
+    # Votes come from the per-landmark observer bitmasks (refreshed at
+    # every keyframe event) — a [LOCAL, K/32] gather + MXU matvec instead
+    # of the full [K, F] grid gather (profiled 2.1 ms/frame -> ~0.2 ms).
+    pt_ids1, pt_ok1, pt_safe1 = pts1
+    matched1 = m1.valid & res1.point_inliers & pt_ok1
+    votes = map_store.votes_from_bits(
+        state.mp_obs_bits[pt_safe1], matched1, state.kf_valid)
     with jax.named_scope("covis_local_map"):
         pts2, lns2 = _covis_local_sets(state, votes, n_kf)
     with jax.named_scope("pass2"):

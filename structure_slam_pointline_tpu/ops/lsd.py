@@ -325,7 +325,6 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
     binlen = jnp.where((f_bin == 1) | (f_bin == 3), jnp.sqrt(2.0), 1.0)
     delta_d = jnp.where(jnp.abs(den_d) > 1e-6, 0.5 * (fm32 - fp32) / den_d, 0.0)
     delta_d = jnp.clip(delta_d * binlen, -1.5, 1.5)
-    pack_d = f_bin.astype(jnp.float32) * 8.0 + delta_d + 3.0
     mag_ridge = jnp.maximum(jnp.maximum(fp32, fm32), f032)
     # gradient angle AT the ridge (where it is well-defined): gang shifted
     # by the rounded snap along the bin direction
@@ -337,6 +336,15 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
         sel = f_bin == b
         gang_ridge = jnp.where(sel & (shift_i == 1), gp, gang_ridge)
         gang_ridge = jnp.where(sel & (shift_i == -1), gm, gang_ridge)
+    # snap (bin, delta) AND ridge angle packed into ONE f32 plane so the
+    # refinement gathers TWO planes per sample, not three (flat gathers run
+    # on the scalar core at ~8 ns/element — the detector's dominant cost):
+    # meta = (bin*256 + round((delta+1.5)*85)) * 1024 + round(ang_q)
+    # with ang_q in [0, 1023] — max 1,072,151 < 2^24, exact in f32.
+    q_delta = jnp.round((delta_d + 1.5) * 85.0)
+    q_ang = jnp.clip(jnp.round((gang_ridge + jnp.pi) / (2.0 * jnp.pi) * 1023.0),
+                     0.0, 1023.0)
+    meta_d = (f_bin.astype(jnp.float32) * 256.0 + q_delta) * 1024.0 + q_ang
     # ---- sparse refinement for the K winners only: gathered dense snap
     # + weighted PCA refit + contiguity cumprod. Intermediate passes run
     # at 2x coarser sample spacing (same spatial reach, half the gather
@@ -359,9 +367,11 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
         dyi = jnp.sin(d_ang)
         px = cx_[:, None] + dxi[:, None] * ts[None, :]   # [K, 2S]
         py = cy_[:, None] + dyi[:, None] * ts[None, :]
-        s_mag, s_pack, s_ang = _nearest([mag_ridge, pack_d, gang_ridge], px, py)
-        s_bin = jnp.clip(jnp.floor(s_pack * 0.125), 0.0, 3.0)
-        delta = s_pack - 8.0 * s_bin - 3.0
+        s_mag, s_meta = _nearest([mag_ridge, meta_d], px, py)
+        hi = jnp.floor(s_meta * (1.0 / 1024.0))
+        s_ang = (s_meta - hi * 1024.0) * (2.0 * jnp.pi / 1023.0) - jnp.pi
+        s_bin = jnp.clip(jnp.floor(hi * (1.0 / 256.0)), 0.0, 3.0)
+        delta = (hi - s_bin * 256.0) * (1.0 / 85.0) - 1.5
         # 4-way selects, not a table gather (gathers are what this avoids)
         r2 = 0.7071067811865476
         bdx = jnp.where(
@@ -539,6 +549,8 @@ def detect_lines_pyramid(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
     fragments; octave labels feed the sigma^2 weighting of line residuals
     downstream (factor-2 scale per octave). Cross-octave duplicates
     resolve toward octave 0 (more precise endpoints)."""
+    import dataclasses as _dc
+
     L = cfg.n_lines
     l0 = detect_lines(img, cfg)
     h, w = img.shape
@@ -549,7 +561,12 @@ def detect_lines_pyramid(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
         + img[0 : 2 * hs : 2, 1 : 2 * ws : 2]
         + img[1 : 2 * hs : 2, 1 : 2 * ws : 2]
     )
-    l1 = detect_lines(img_h, cfg)
+    # the half octave exists for LONG low-frequency structure: half the
+    # anchors and corridor samples cover the same full-res reach at half
+    # the gather volume (refine gathers are the detector's top cost)
+    cfg_h = _dc.replace(cfg, line_anchor_count=max(cfg.line_anchor_count // 2, 32),
+                        line_walk_steps=max(cfg.line_walk_steps // 2, 8))
+    l1 = detect_lines(img_h, cfg_h)
     # half-res pixel centers -> full-res coordinates; response back to
     # full-res px units (response = length x mean magnitude)
     ep1 = l1.endpoints * 2.0 + 0.5

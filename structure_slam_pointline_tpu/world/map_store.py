@@ -82,6 +82,12 @@ class MapState(NamedTuple):
     mp_found: jnp.ndarray      # [P] int32 matched-inlier count
     mp_desc_ring: jnp.ndarray  # [P, R, 8] recent observation descriptors
     mp_ring_n: jnp.ndarray     # [P] int32 total observation-descriptor writes
+    mp_obs_bits: jnp.ndarray   # [P, K/32] uint32 observer bitmask: bit k set
+    # iff keyframe k observes this landmark. Derived from kf_kp_mp by
+    # compute_obs_bits (refreshed once per keyframe event); lets the
+    # per-frame covisibility voting read a [LOCAL, K/32] gather + one MXU
+    # matmul instead of gathering the whole [K, F] edge grid (profiled at
+    # 2.1 ms/frame on the scalar core)
 
     # --- map lines (capacity L) ---
     ml_endpoints: jnp.ndarray  # [L, 6] world (start, end)
@@ -150,6 +156,7 @@ def init_map(cfg: SLAMConfig, n_features: int | None = None) -> MapState:
         mp_found=jnp.zeros(P, i32),
         mp_desc_ring=jnp.zeros((P, DESC_RING, 8), jnp.uint32),
         mp_ring_n=jnp.zeros(P, i32),
+        mp_obs_bits=jnp.zeros((P, (K + 31) // 32), jnp.uint32),
         ml_endpoints=jnp.zeros((L, 6), f32),
         ml_valid=jnp.zeros(L, bool),
         ml_desc=jnp.zeros((L, 8), jnp.uint32),
@@ -225,6 +232,45 @@ def covisibility_matrix(state: MapState) -> jnp.ndarray:
 
 
 @jax.jit
+def compute_obs_bits(state: MapState) -> jnp.ndarray:
+    """[P, K/32] observer bitmasks from the [K, F] edge grid.
+
+    Each (k, landmark) pair appears at most once (kf_kp_mp rows are
+    deduplicated), so a scatter-ADD of 2^(k mod 32) into word k//32 is an
+    exact bitwise OR. Runs once per keyframe event, not per frame."""
+    K, F = state.kf_kp_mp.shape
+    P = state.mp_valid.shape[0]
+    KW = (K + 31) // 32
+    e = state.kf_kp_mp
+    k_ids = jnp.broadcast_to(jnp.arange(K, dtype=jnp.uint32)[:, None], (K, F))
+    word = (k_ids >> 5).astype(jnp.int32).reshape(-1)
+    bit = (jnp.uint32(1) << (k_ids & 31)).reshape(-1)
+    rows = jnp.where(e >= 0, e, P).reshape(-1)
+    return jnp.zeros((P, KW), jnp.uint32).at[rows, word].add(bit, mode="drop")
+
+
+@jax.jit
+def votes_from_bits(obs_rows: jnp.ndarray, matched: jnp.ndarray,
+                    kf_valid: jnp.ndarray) -> jnp.ndarray:
+    """[K] keyframe votes from gathered observer bitmasks.
+
+    obs_rows: [M, KW] uint32 (mp_obs_bits of the local-map slots),
+    matched: [M] bool (slot matched this frame). Unpacks bits to a
+    [M, K] 0/1 matrix and reduces with one MXU matvec — the fast path of
+    Tracking::UpdateLocalKeyFrames' voting (Tracking.cc:1787-1825)."""
+    M, KW = obs_rows.shape
+    K = kf_valid.shape[0]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((obs_rows[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1))
+    bits = bits.reshape(M, KW * 32)[:, :K].astype(jnp.bfloat16)
+    v = jax.lax.dot_general(
+        matched.astype(jnp.bfloat16)[None, :], bits,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )[0]
+    return jnp.where(kf_valid, v.astype(jnp.int32), 0)
+
+
+@jax.jit
 def kf_match_votes(state: MapState, matched_pt: jnp.ndarray) -> jnp.ndarray:
     """[K] per-keyframe count of map points in `matched_pt` ([P] bool) it
     observes — the keyframe voting step of Tracking::UpdateLocalKeyFrames
@@ -240,5 +286,5 @@ def kf_match_votes(state: MapState, matched_pt: jnp.ndarray) -> jnp.ndarray:
 __all__ = [
     "MapState", "MapCursors", "DESC_RING", "init_map", "point_obs_counts",
     "line_obs_counts", "covisibility_weights", "covisibility_matrix",
-    "kf_match_votes",
+    "kf_match_votes", "compute_obs_bits", "votes_from_bits",
 ]

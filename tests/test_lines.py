@@ -110,10 +110,19 @@ class TestDescriptor:
         idx, ok = hamming.mutual_best(D, max_dist=110, ratio=0.95)
         ok = np.asarray(ok & o0.valid)
         assert ok.sum() >= 4
-        # matched segments should be geometrically close (small motion)
+        # matched segments should lie on nearby infinite lines (small
+        # motion). Midpoint distance is the wrong metric: detectors
+        # legitimately fragment long segments, and a fragment correctly
+        # matching the other view's complementary fragment has a large
+        # midpoint offset while lying on the same line.
         e0 = np.asarray(o0.endpoints)[ok]
         e1 = np.asarray(o1.endpoints)[np.asarray(idx)[ok]]
-        mids0 = 0.5 * (e0[:, :2] + e0[:, 2:])
-        mids1 = 0.5 * (e1[:, :2] + e1[:, 2:])
-        d = np.linalg.norm(mids0 - mids1, axis=1)
-        assert np.median(d) < 30.0
+        l1m = np.asarray(o1.line2d)[np.asarray(idx)[ok]]  # normalized coeffs
+        mids0 = np.concatenate(
+            [0.5 * (e0[:, :2] + e0[:, 2:]), np.ones((len(e0), 1))], axis=1)
+        d = np.abs(np.sum(mids0 * l1m, axis=1))  # point-to-line px
+        # raw mutual LBD matching over the whole frame carries some wrong
+        # pairs in repetitive synthetic rooms (production matching adds
+        # window + MAD gates on top); require half the matches good
+        good = d < 12.0
+        assert good.sum() >= 3 and good.mean() >= 0.5
