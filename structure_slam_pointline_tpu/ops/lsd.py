@@ -214,12 +214,8 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
     ds = cfg.line_support_downsample
     if ds == 2:
         hs, ws = h // 2, w // 2
-        img_s = 0.25 * (
-            img[0 : 2 * hs : 2, 0 : 2 * ws : 2]
-            + img[1 : 2 * hs : 2, 0 : 2 * ws : 2]
-            + img[0 : 2 * hs : 2, 1 : 2 * ws : 2]
-            + img[1 : 2 * hs : 2, 1 : 2 * ws : 2]
-        )
+        img_s = 0.25 * jax.lax.reduce_window(
+            img[: 2 * hs, : 2 * ws], 0.0, jax.lax.add, (2, 2), (2, 2), "VALID")
         sgx, sgy, smag = gradients(img_s)
         sgang = jnp.arctan2(sgy.astype(jnp.float32), sgx.astype(jnp.float32))
         smagf = smag.astype(jnp.float32)
@@ -555,12 +551,11 @@ def detect_lines_pyramid(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
     l0 = detect_lines(img, cfg)
     h, w = img.shape
     hs, ws = h // 2, w // 2
-    img_h = 0.25 * (
-        img[0 : 2 * hs : 2, 0 : 2 * ws : 2]
-        + img[1 : 2 * hs : 2, 0 : 2 * ws : 2]
-        + img[0 : 2 * hs : 2, 1 : 2 * ws : 2]
-        + img[1 : 2 * hs : 2, 1 : 2 * ws : 2]
-    )
+    # 2x2 box downsample as a strided reduce_window: strided SLICING
+    # lowers to 76800-element scalar-core gathers (profiled 0.78 ms x4
+    # per frame); windowed reduction is a vector op
+    img_h = 0.25 * jax.lax.reduce_window(
+        img[: 2 * hs, : 2 * ws], 0.0, jax.lax.add, (2, 2), (2, 2), "VALID")
     # the half octave exists for LONG low-frequency structure: half the
     # anchors and corridor samples cover the same full-res reach at half
     # the gather volume (refine gathers are the detector's top cost)
