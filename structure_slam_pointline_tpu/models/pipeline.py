@@ -378,6 +378,21 @@ def slam_scan(
 
 
 @jax.jit
+def pack_scan_out(outs: FrameOut) -> jnp.ndarray:
+    """[N]-batched FrameOut -> one [N, 20] array: the whole chunk's
+    results come back in a SINGLE device->host transfer (each array fetch
+    pays a full tunnel round trip)."""
+    n = outs.ok.shape[0]
+    return jnp.concatenate([
+        outs.T_cw.reshape(n, 16),
+        outs.ok.astype(jnp.float32)[:, None],
+        outs.n_inliers.astype(jnp.float32)[:, None],
+        outs.is_kf.astype(jnp.float32)[:, None],
+        jnp.asarray(outs.n_dropped, jnp.float32).reshape(n, 1),
+    ], axis=1)
+
+
+@jax.jit
 def pack_frame_out(out: FrameOut) -> jnp.ndarray:
     """Pack per-frame outputs into one [20] vector so the host needs a
     single small D2H transfer (tunnel round-trips dominate latency)."""
@@ -407,4 +422,4 @@ def make_carry(state: MapState, T_last, velocity, n_kf: int, n_mp: int,
 
 
 __all__ = ["SLAMCarry", "FrameOut", "slam_step", "slam_scan", "make_carry",
-           "build_frame_device"]
+           "build_frame_device", "pack_scan_out"]

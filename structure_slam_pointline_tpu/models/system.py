@@ -154,9 +154,12 @@ class SLAMSystem:
                 jnp.asarray(first_frame_id + i, jnp.int32), self.intr, self.cfg,
                 jnp.asarray(not self.localization_mode), mesh=self.mesh,
             )
-            T, okk, inl, iskf, ndrop = jax.device_get(
-                (outs.T_cw, outs.ok, outs.n_inliers, outs.is_kf,
-                 outs.n_dropped))
+            packed = jax.device_get(pipeline.pack_scan_out(outs))  # ONE D2H
+            T = packed[:, :16].reshape(c, 4, 4)
+            okk = packed[:, 16] > 0.5
+            inl = packed[:, 17].astype(np.int32)
+            iskf = packed[:, 18] > 0.5
+            ndrop = packed[:, 19].astype(np.int32)
             self.metrics.count("frames", c)
             self.metrics.count("frames_lost", int((~okk).sum()))
             self.metrics.count("keyframes", int(iskf.sum()))

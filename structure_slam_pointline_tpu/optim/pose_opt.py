@@ -247,7 +247,7 @@ def pose_optimize(
     # scarcest resource (pose LM is instantiated 2x per slam_step); the
     # 4 loop boundaries per optimize cost ~us-scale against a ~ms frame.
     carry = jax.lax.fori_loop(0, cfg.pose_rounds, round_body, carry,
-                              unroll=False)
+                              unroll=2)
     T, pt_in, ln_in, cost = carry
 
     # final classification at the optimized pose
