@@ -539,7 +539,7 @@ def cull_keyframes(
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def fuse_duplicate_points(state: MapState, k_new: jnp.ndarray, n_kf: jnp.ndarray,
+def fuse_duplicate_points_3d(state: MapState, k_new: jnp.ndarray, n_kf: jnp.ndarray,
                           intr: Intrinsics, cfg: SLAMConfig) -> MapState:
     """Landmark fusion (reference LocalMapping::SearchInNeighbors,
     LocalMapping.cc:1178-1279): the new keyframe's landmarks are projected
@@ -585,7 +585,7 @@ def fuse_duplicate_points(state: MapState, k_new: jnp.ndarray, n_kf: jnp.ndarray
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def fuse_duplicate_lines(state: MapState, k_new: jnp.ndarray, n_kf: jnp.ndarray,
+def fuse_duplicate_lines_3d(state: MapState, k_new: jnp.ndarray, n_kf: jnp.ndarray,
                          intr: Intrinsics, cfg: SLAMConfig) -> MapState:
     """Map-line fusion, the line half of SearchInNeighbors (reference
     LocalMapping.cc:1178-1279 fuses points AND lines; LSDmatcher::Fuse,
@@ -654,6 +654,209 @@ def fuse_duplicate_lines(state: MapState, k_new: jnp.ndarray, n_kf: jnp.ndarray,
         state.kf_line_ml >= 0, redirect[ml_safe_tbl], state.kf_line_ml
     )
     return state._replace(ml_valid=ml_valid, kf_line_ml=kf_line_ml)
+
+
+def _dedup_row_table(tbl: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Clear repeated landmark ids within each row (keep first occurrence):
+    redirects can map two features of one KF onto the same landmark, and
+    the dense BA grid requires at most one edge per (KF, landmark)."""
+    K, F = tbl.shape
+    rows = jnp.broadcast_to(jnp.arange(K)[:, None], (K, F))
+    feats = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :], (K, F))
+    ids = jnp.where(tbl >= 0, tbl, cap)
+    first = jnp.full((K, cap + 1), F, jnp.int32).at[rows, ids].min(feats)
+    keep = (tbl >= 0) & (first[rows, ids] == feats)
+    return jnp.where(keep, tbl, -1)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def fuse_projected_points(state: MapState, k_new: jnp.ndarray,
+                          nb_ids: jnp.ndarray, intr: Intrinsics,
+                          cfg: SLAMConfig) -> MapState:
+    """PROJECTION-space landmark fusion — the reference's
+    LocalMapping::SearchInNeighbors + ORBmatcher::Fuse semantics
+    (reference src/LocalMapping.cc:1178-1279, src/ORBmatcher.cc:828-980):
+    for each target keyframe in `nb_ids` ([W] covisible neighbors, -1
+    pad), project the new keyframe's landmarks into the target (and the
+    target's landmarks into the new keyframe), window-match against that
+    keyframe's features with octave gating and descriptor distance
+    <= TH_LOW, then
+
+    - a match on a feature BOUND to a different landmark merges the two,
+      keeping the more-observed one (MapPoint::Replace keeps the landmark
+      with more observations, MapPoint.cc),
+    - a match on an unbound feature adds the observation.
+
+    Unlike the retired 3D-radius heuristic (fuse_duplicate_points_3d),
+    nearby-in-3D landmarks with similar descriptors survive as long as no
+    keyframe actually sees them at the same feature — e.g. repeating
+    fronto-parallel structure. Merge redirects resolve one hop per call
+    (subsequent keyframe events resolve chains)."""
+    K, F = state.kf_kp_mp.shape
+    P = state.mp_valid.shape[0]
+    W = nb_ids.shape[0]
+    obs = point_obs_counts(state)
+    sf = cfg.frontend.scale_factor
+
+    def one_direction(carry, a, b, present):
+        kf_kp_mp, mp_valid, redirect = carry
+        ids = kf_kp_mp[a]                              # [F] candidates
+        safe0 = jnp.clip(ids, 0, P - 1)
+        ids_r = jnp.where(ids >= 0, redirect[safe0], -1)
+        ids_r = jnp.where(mp_valid[jnp.clip(ids_r, 0, P - 1)], ids_r, -1)
+        has = (ids_r >= 0) & present
+        safe = jnp.clip(ids_r, 0, P - 1)
+        X = state.mp_xyz[safe]
+        T_b = state.kf_T_cw[b]
+        pc = X @ T_b[:3, :3].T + T_b[:3, 3]
+        from structure_slam_pointline_tpu.utils import camera as cam_utils
+
+        uv, z = cam_utils.project(intr, pc)
+        dist = jnp.linalg.norm(pc, axis=-1)
+        dmax = state.mp_dist_max[safe]
+        no_band = (dmax <= 0.0) | (dmax >= 1e8)
+        pred_oct = matching.predict_octave(
+            dist, jnp.where(no_band, dist, dmax), sf, cfg.frontend.n_levels)
+        radius = 3.0 * jnp.power(sf, pred_oct.astype(jnp.float32))
+        vis = has & (z > 0.1) & cam_utils.in_image(cfg.camera, uv, margin=2.0)
+        allow = matching.window_mask(
+            uv, vis, state.kf_xy[b], state.kf_kp_valid[b], radius,
+            kp_octave=state.kf_octave[b], pred_octave=pred_oct, octave_slack=1)
+        D = hamming.hamming_matrix(state.mp_desc[safe], state.kf_desc[b])
+        m = matching.masked_match(D, allow, max_dist=cfg.matching.th_low)
+        feat = jnp.clip(m.idx, 0, F - 1)
+        row_b = kf_kp_mp[b]
+        cur = row_b[feat]
+        cur_r = jnp.where(cur >= 0, redirect[jnp.clip(cur, 0, P - 1)], -1)
+        cand = ids_r
+        # merge distinct landmarks observed at the same feature
+        mrg = m.valid & (cur_r >= 0) & (cand >= 0) & (cur_r != cand)
+        keep_cand = obs[jnp.clip(cand, 0, P - 1)] >= obs[jnp.clip(cur_r, 0, P - 1)]
+        src = jnp.where(keep_cand, cur_r, cand)
+        dst = jnp.where(keep_cand, cand, cur_r)
+        redirect = redirect.at[jnp.where(mrg, src, P)].set(
+            jnp.where(mrg, dst, 0), mode="drop")
+        mp_valid = mp_valid.at[jnp.where(mrg, src, P)].set(False, mode="drop")
+        # add the observation on unbound features (candidate not already
+        # bound elsewhere in this row)
+        present_b = jnp.zeros(P, bool).at[
+            jnp.where(row_b >= 0, row_b, P)].set(True, mode="drop")
+        add = (m.valid & (cur_r < 0) & (cand >= 0)
+               & ~present_b[jnp.clip(cand, 0, P - 1)])
+        new_row = row_b.at[jnp.where(add, feat, F)].set(
+            jnp.where(add, cand, -1), mode="drop")
+        kf_kp_mp = kf_kp_mp.at[b].set(new_row)
+        return kf_kp_mp, mp_valid, redirect
+
+    def body(i, carry):
+        t_raw = nb_ids[i]
+        t = jnp.clip(t_raw, 0, K - 1)
+        present = (t_raw >= 0) & state.kf_valid[t] & (t != k_new)
+        carry = one_direction(carry, k_new, t, present)
+        carry = one_direction(carry, t, k_new, present)
+        return carry
+
+    init = (state.kf_kp_mp, state.mp_valid,
+            jnp.arange(P, dtype=jnp.int32))
+    kf_kp_mp, mp_valid, redirect = jax.lax.fori_loop(0, W, body, init)
+    kf_kp_mp = jnp.where(
+        kf_kp_mp >= 0, redirect[jnp.clip(kf_kp_mp, 0, P - 1)], kf_kp_mp)
+    kf_kp_mp = jnp.where(
+        (kf_kp_mp >= 0) & mp_valid[jnp.clip(kf_kp_mp, 0, P - 1)], kf_kp_mp, -1)
+    kf_kp_mp = _dedup_row_table(kf_kp_mp, P)
+    return state._replace(kf_kp_mp=kf_kp_mp, mp_valid=mp_valid)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def fuse_projected_lines(state: MapState, k_new: jnp.ndarray,
+                         nb_ids: jnp.ndarray, intr: Intrinsics,
+                         cfg: SLAMConfig) -> MapState:
+    """Projection-space map-line fusion — the line half of
+    SearchInNeighbors (reference LocalMapping.cc:1178-1279 via
+    LSDmatcher::Fuse, LSDmatcher.cpp:417-549): project candidate lines'
+    endpoints into each target keyframe, match observed lines whose
+    midpoint falls in the window with LBD distance <= TH_HIGH and
+    compatible direction; bound-elsewhere matches merge (keep the
+    more-observed line), unbound matches add the observation."""
+    from structure_slam_pointline_tpu.utils import camera as cam_utils
+    from structure_slam_pointline_tpu.world.map_store import line_obs_counts
+
+    K, LF = state.kf_line_ml.shape
+    L = state.ml_valid.shape[0]
+    W = nb_ids.shape[0]
+    obs = line_obs_counts(state)
+
+    def one_direction(carry, a, b, present):
+        kf_line_ml, ml_valid, redirect = carry
+        ids = kf_line_ml[a]
+        safe0 = jnp.clip(ids, 0, L - 1)
+        ids_r = jnp.where(ids >= 0, redirect[safe0], -1)
+        ids_r = jnp.where(ml_valid[jnp.clip(ids_r, 0, L - 1)], ids_r, -1)
+        has = (ids_r >= 0) & present
+        safe = jnp.clip(ids_r, 0, L - 1)
+        ep = state.ml_endpoints[safe]
+        T_b = state.kf_T_cw[b]
+
+        def proj(p):
+            pc = p @ T_b[:3, :3].T + T_b[:3, 3]
+            return cam_utils.project(intr, pc)
+
+        uv_s, z_s = proj(ep[:, :3])
+        uv_e, z_e = proj(ep[:, 3:])
+        mid = 0.5 * (uv_s + uv_e)
+        seg = uv_e - uv_s
+        ang = jnp.arctan2(seg[:, 1], seg[:, 0])
+        vis = (has & (z_s > 0.1) & (z_e > 0.1)
+               & cam_utils.in_image(cfg.camera, mid, margin=2.0))
+        fr_ep = state.kf_line_ep[b]
+        fr_mid = 0.5 * (fr_ep[:, 0:2] + fr_ep[:, 2:4])
+        fr_ang = jnp.arctan2(fr_ep[:, 3] - fr_ep[:, 1],
+                             fr_ep[:, 2] - fr_ep[:, 0])
+        allow = matching.window_mask(mid, vis, fr_mid,
+                                     state.kf_line_valid[b], 8.0)
+        dang = jnp.mod(ang[:, None] - fr_ang[None, :] + jnp.pi / 2,
+                       jnp.pi) - jnp.pi / 2
+        allow &= jnp.abs(dang) < 0.26                  # ~15 deg
+        D = hamming.hamming_matrix(state.ml_desc[safe], state.kf_ldesc[b])
+        m = matching.masked_match(D, allow, max_dist=cfg.matching.th_high)
+        feat = jnp.clip(m.idx, 0, LF - 1)
+        row_b = kf_line_ml[b]
+        cur = row_b[feat]
+        cur_r = jnp.where(cur >= 0, redirect[jnp.clip(cur, 0, L - 1)], -1)
+        cand = ids_r
+        mrg = m.valid & (cur_r >= 0) & (cand >= 0) & (cur_r != cand)
+        keep_cand = obs[jnp.clip(cand, 0, L - 1)] >= obs[jnp.clip(cur_r, 0, L - 1)]
+        src = jnp.where(keep_cand, cur_r, cand)
+        dst = jnp.where(keep_cand, cand, cur_r)
+        redirect = redirect.at[jnp.where(mrg, src, L)].set(
+            jnp.where(mrg, dst, 0), mode="drop")
+        ml_valid = ml_valid.at[jnp.where(mrg, src, L)].set(False, mode="drop")
+        present_b = jnp.zeros(L, bool).at[
+            jnp.where(row_b >= 0, row_b, L)].set(True, mode="drop")
+        add = (m.valid & (cur_r < 0) & (cand >= 0)
+               & ~present_b[jnp.clip(cand, 0, L - 1)])
+        new_row = row_b.at[jnp.where(add, feat, LF)].set(
+            jnp.where(add, cand, -1), mode="drop")
+        kf_line_ml = kf_line_ml.at[b].set(new_row)
+        return kf_line_ml, ml_valid, redirect
+
+    def body(i, carry):
+        t_raw = nb_ids[i]
+        t = jnp.clip(t_raw, 0, K - 1)
+        present = (t_raw >= 0) & state.kf_valid[t] & (t != k_new)
+        carry = one_direction(carry, k_new, t, present)
+        carry = one_direction(carry, t, k_new, present)
+        return carry
+
+    init = (state.kf_line_ml, state.ml_valid, jnp.arange(L, dtype=jnp.int32))
+    kf_line_ml, ml_valid, redirect = jax.lax.fori_loop(0, W, body, init)
+    kf_line_ml = jnp.where(
+        kf_line_ml >= 0, redirect[jnp.clip(kf_line_ml, 0, L - 1)], kf_line_ml)
+    kf_line_ml = jnp.where(
+        (kf_line_ml >= 0) & ml_valid[jnp.clip(kf_line_ml, 0, L - 1)],
+        kf_line_ml, -1)
+    kf_line_ml = _dedup_row_table(kf_line_ml, L)
+    return state._replace(kf_line_ml=kf_line_ml, ml_valid=ml_valid)
 
 
 @partial(jax.jit, donate_argnums=(0,))

@@ -227,6 +227,32 @@ class LoopCloser:
         self.kf_bows[k] = np.asarray(vec)
         self.kf_words[k] = np.asarray(words)
 
+    def remap_keyframes(self, perm) -> None:
+        """Follow a pool compaction (world/compact.compact_keyframes):
+        `perm` is the [K] new->old keyframe id map (-1 pad). Permutes the
+        BoW index rows, remaps the word cache, the consistency groups and
+        the persisted loop edges."""
+        perm = np.asarray(perm)
+        old2new = {}
+        for new_id, old_id in enumerate(perm):
+            if old_id >= 0:
+                old2new[int(old_id)] = new_id
+        if self.kf_bows is not None:
+            new_bows = np.zeros_like(self.kf_bows)
+            live = perm >= 0
+            new_bows[np.nonzero(live)[0]] = self.kf_bows[perm[live]]
+            self.kf_bows = new_bows
+        self.kf_words = {old2new[k]: v for k, v in self.kf_words.items()
+                         if k in old2new}
+        self.loop_edges = [
+            (old2new[a], old2new[b], S) for (a, b, S) in self.loop_edges
+            if a in old2new and b in old2new
+        ]
+        self._consistent_groups = [
+            (set(old2new[j] for j in grp if j in old2new), n)
+            for grp, n in self._consistent_groups
+        ]
+
     def add_keyframe(self, state: MapState, k: int) -> None:
         if self.voc is not None:
             self._index_keyframe(state, k)

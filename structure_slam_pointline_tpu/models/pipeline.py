@@ -200,9 +200,12 @@ def _keyframe_pipeline(
         outl = lm.create_new_lines(st, k, nb1, n_ml, intr, cfg)
         st, n_ml = outl.state, n_ml + outl.n_new
         n_dropped = n_dropped + outl.n_clipped
-    st = lm.fuse_duplicate_points(st, k, k + 1, intr, cfg)
+    # projection-space fusion against the covisible neighbors (reference
+    # SearchInNeighbors + ORBmatcher/LSDmatcher Fuse; replaces the old
+    # 3D-radius landmark dedup, which over-merged repeating structure)
+    st = lm.fuse_projected_points(st, k, nbs, intr, cfg)
     if cfg.use_lines:
-        st = lm.fuse_duplicate_lines(st, k, k + 1, intr, cfg)
+        st = lm.fuse_projected_lines(st, k, nbs, intr, cfg)
     prob, ba_lines, local_kf, local_mp, local_ln, ba_drop = \
         _gather_ba_problem_device(st, k + 1, cfg, k, covis_w)
     n_dropped = n_dropped + ba_drop

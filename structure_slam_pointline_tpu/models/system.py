@@ -169,6 +169,9 @@ class SLAMSystem:
             inl_out[i : i + c] = inl
             kf_out[i : i + c] = iskf
             self.map = self.carry.state
+            if iskf.any():
+                self.sync_cursors()
+                self.maybe_compact()
             if self.cfg.enable_loop_closing and iskf.any():
                 self._loop_close_new_keyframes()
             if not okk[-1]:
@@ -447,6 +450,9 @@ class SLAMSystem:
         if ok:
             self.last_T = np.asarray(T)
             self._log(frame_id, np.asarray(T), n_inl, is_kf)
+            if is_kf:
+                self.sync_cursors()
+                self.maybe_compact()
             if is_kf and self.cfg.enable_loop_closing:
                 self._run_loop_closing()
             return np.asarray(T)
@@ -590,6 +596,50 @@ class SLAMSystem:
         if self.carry is not None:
             jax.block_until_ready(self.carry.n_kf)
             self.sync_cursors()
+
+    COMPACT_FRAC = 0.75  # pool high-water mark triggering slot reclamation
+
+    def maybe_compact(self) -> None:
+        """Reclaim culled slots when a bump cursor nears its pool capacity
+        (world/compact.py): live entries renumber to the front and every
+        edge-grid reference follows. Keeps 256-KF / 32k-point pools
+        sufficient for ICL-scale sequences (the reference validates on
+        881-1509 frames). Call after sync_cursors; the hot per-frame step
+        never carries the compaction graph."""
+        if self.carry is None:
+            return
+        from structure_slam_pointline_tpu.world import compact as wc
+
+        cap = self.map.capacity
+        changed = False
+        st = self.carry.state
+        n_kf, n_mp, n_ml = self.cur.n_kf, self.cur.n_mp, self.cur.n_ml
+        if n_mp > self.COMPACT_FRAC * cap["P"]:
+            st, n_mp_j = wc.compact_points(st)
+            n_mp = int(n_mp_j)
+            changed = True
+            self.metrics.count("compact_points")
+        if n_ml > self.COMPACT_FRAC * cap["L"]:
+            st, n_ml_j = wc.compact_lines(st)
+            n_ml = int(n_ml_j)
+            changed = True
+            self.metrics.count("compact_lines")
+        if n_kf > cap["K"] - 8:
+            st, n_kf_j, perm = wc.compact_keyframes(st)
+            n_kf = int(n_kf_j)
+            changed = True
+            self.metrics.count("compact_keyframes")
+            if self._loop_closer is not None:
+                self._loop_closer.remap_keyframes(np.asarray(perm))
+        if changed:
+            self.map = st
+            self.carry = self.carry._replace(
+                state=st,
+                n_kf=jnp.asarray(n_kf, jnp.int32),
+                n_mp=jnp.asarray(n_mp, jnp.int32),
+                n_ml=jnp.asarray(n_ml, jnp.int32),
+            )
+            self.cur.n_kf, self.cur.n_mp, self.cur.n_ml = n_kf, n_mp, n_ml
 
     def sync_cursors(self) -> None:
         """Pull allocation cursors from the device carry (one small D2H)."""

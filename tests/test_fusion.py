@@ -1,6 +1,8 @@
 """Duplicate-landmark fusion (reference LocalMapping::SearchInNeighbors,
 LocalMapping.cc:1178-1279: ORBmatcher::Fuse for points, LSDmatcher::Fuse
-for lines)."""
+for lines) — PROJECTION-space semantics: candidates are projected into
+the neighbor keyframes and merged only when a keyframe actually sees two
+landmarks at the same feature."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -19,65 +21,138 @@ def _desc(seed):
     return g.integers(0, 2 ** 32, (8,), dtype=np.uint32)
 
 
+def _proj(xyz):
+    c = CFG.camera
+    return np.asarray([xyz[0] / xyz[2] * c.fx + c.cx,
+                       xyz[1] / xyz[2] * c.fy + c.cy], np.float32)
+
+
+def _nb(*ids):
+    out = np.full(4, -1, np.int32)
+    out[: len(ids)] = ids
+    return jnp.asarray(out)
+
+
 class TestFusePoints:
-    def test_recent_duplicate_merges_into_older(self):
+    def _base_state(self):
         st = map_store.init_map(CFG)
+        return st._replace(kf_valid=st.kf_valid.at[jnp.asarray([0, 1, 3])].set(True))
+
+    def test_same_feature_duplicate_merges_into_more_observed(self):
+        """B (new, 1 obs) projects onto the feature KF0 already binds to
+        A (2 obs) -> B merges into A everywhere."""
+        st = self._base_state()
         d = _desc(0)
+        A = np.asarray([1.0, 1.0, 5.0], np.float32)
+        B = A + np.asarray([0.003, 0, 0], np.float32)   # sub-pixel apart
+        uvA = _proj(A)
         st = st._replace(
-            mp_xyz=st.mp_xyz.at[0].set(jnp.asarray([1.0, 2.0, 5.0]))
-                    .at[1].set(jnp.asarray([1.001, 2.0, 5.0]))   # ~1 mm apart
-                    .at[2].set(jnp.asarray([4.0, -1.0, 7.0])),   # unrelated
-            mp_valid=st.mp_valid.at[:3].set(True),
-            mp_desc=st.mp_desc.at[0].set(jnp.asarray(d))
-                    .at[1].set(jnp.asarray(d))
-                    .at[2].set(jnp.asarray(_desc(7))),
-            mp_first_kf=st.mp_first_kf.at[0].set(0).at[1].set(3).at[2].set(3),
-            kf_kp_mp=st.kf_kp_mp.at[3, 0].set(1).at[3, 1].set(2),
+            mp_xyz=st.mp_xyz.at[0].set(jnp.asarray(A)).at[1].set(jnp.asarray(B)),
+            mp_valid=st.mp_valid.at[:2].set(True),
+            mp_desc=st.mp_desc.at[0].set(jnp.asarray(d)).at[1].set(jnp.asarray(d)),
+            kf_kp_mp=st.kf_kp_mp.at[0, 5].set(0).at[1, 2].set(0).at[3, 7].set(1),
+            kf_xy=st.kf_xy.at[0, 5].set(jnp.asarray(uvA)),
+            kf_desc=st.kf_desc.at[0, 5].set(jnp.asarray(d)),
+            kf_kp_valid=st.kf_kp_valid.at[0, 5].set(True),
         )
-        out = lm.fuse_duplicate_points(st, jnp.asarray(3), jnp.asarray(4), INTR, CFG)
-        assert not bool(out.mp_valid[1])          # duplicate gone
-        assert bool(out.mp_valid[0]) and bool(out.mp_valid[2])
-        assert int(out.kf_kp_mp[3, 0]) == 0       # binding redirected
-        assert int(out.kf_kp_mp[3, 1]) == 2       # unrelated untouched
+        out = lm.fuse_projected_points(st, jnp.asarray(3), _nb(0), INTR, CFG)
+        assert not bool(out.mp_valid[1])            # duplicate gone
+        assert bool(out.mp_valid[0])
+        assert int(out.kf_kp_mp[3, 7]) == 0         # binding redirected to A
+
+    def test_fronto_parallel_repeating_structure_survives(self):
+        """Two landmarks on repeating fronto-parallel structure: identical
+        descriptors, 3D distance within 1% of depth — the retired
+        3D-radius heuristic (fuse_duplicate_points_3d) over-merges them,
+        the projection-space fuse keeps both because no keyframe sees
+        them at the same feature (their projections are > the 3 px fuse
+        window apart)."""
+        d = _desc(1)
+        A = np.asarray([1.00, 1.0, 5.0], np.float32)
+        B = np.asarray([1.04, 1.0, 5.0], np.float32)  # 4 cm at 5 m (~3.9 px)
+        uvA, uvB = _proj(A), _proj(B)
+
+        def build():
+          # fuse functions donate their input state; build one per call
+          st = self._base_state()
+          return st._replace(
+              mp_xyz=st.mp_xyz.at[0].set(jnp.asarray(A)).at[1].set(jnp.asarray(B)),
+              mp_valid=st.mp_valid.at[:2].set(True),
+              mp_desc=st.mp_desc.at[0].set(jnp.asarray(d)).at[1].set(jnp.asarray(d)),
+              mp_first_kf=st.mp_first_kf.at[0].set(0).at[1].set(3),
+              # KF0 sees BOTH at their own (distinct) features; the new
+              # KF3 binds only B
+              kf_kp_mp=st.kf_kp_mp.at[0, 5].set(0).at[0, 6].set(1).at[3, 7].set(1),
+              kf_xy=st.kf_xy.at[0, 5].set(jnp.asarray(uvA))
+                           .at[0, 6].set(jnp.asarray(uvB)),
+              kf_desc=st.kf_desc.at[0, 5].set(jnp.asarray(d))
+                               .at[0, 6].set(jnp.asarray(d)),
+              kf_kp_valid=st.kf_kp_valid.at[0, 5].set(True).at[0, 6].set(True),
+          )
+
+        out = lm.fuse_projected_points(build(), jnp.asarray(3), _nb(0), INTR, CFG)
+        assert bool(out.mp_valid[0]) and bool(out.mp_valid[1])  # both survive
+        assert int(out.kf_kp_mp[0, 5]) == 0 and int(out.kf_kp_mp[0, 6]) == 1
+
+        # the 3D-radius heuristic merges them (the over-merge the
+        # projection redesign exists to prevent)
+        out3d = lm.fuse_duplicate_points_3d(
+            build(), jnp.asarray(3), jnp.asarray(4), INTR, CFG)
+        assert not bool(out3d.mp_valid[1])
 
 
 class TestFuseLines:
-    def test_recent_collinear_overlapping_merges(self):
+    def _line_state(self):
         st = map_store.init_map(CFG)
-        d = _desc(1)
-        # older line along x at z=5; recent = same infinite line, shifted
-        # endpoints with 50% overlap; plus a perpendicular non-duplicate
-        st = st._replace(
-            ml_endpoints=st.ml_endpoints
-                .at[0].set(jnp.asarray([0.0, 1.0, 5.0, 2.0, 1.0, 5.0]))
-                .at[1].set(jnp.asarray([1.0, 1.0, 5.0, 3.0, 1.0, 5.0]))
-                .at[2].set(jnp.asarray([0.0, -1.0, 5.0, 0.0, 1.5, 5.0])),
-            ml_valid=st.ml_valid.at[:3].set(True),
-            ml_desc=st.ml_desc.at[0].set(jnp.asarray(d))
-                    .at[1].set(jnp.asarray(d))
-                    .at[2].set(jnp.asarray(_desc(9))),
-            ml_first_kf=st.ml_first_kf.at[0].set(0).at[1].set(3).at[2].set(3),
-            kf_line_ml=st.kf_line_ml.at[3, 0].set(1).at[3, 1].set(2),
-        )
-        out = lm.fuse_duplicate_lines(st, jnp.asarray(3), jnp.asarray(4), INTR, CFG)
-        assert not bool(out.ml_valid[1])
-        assert bool(out.ml_valid[0]) and bool(out.ml_valid[2])
-        assert int(out.kf_line_ml[3, 0]) == 0
-        assert int(out.kf_line_ml[3, 1]) == 2
+        return st._replace(kf_valid=st.kf_valid.at[jnp.asarray([0, 3])].set(True))
 
-    def test_parallel_but_offset_lines_survive(self):
-        st = map_store.init_map(CFG)
+    def _obs_line(self, st, k, slot, ep6, desc):
+        """Bind an observed 2D line in KF k at the projection of ep6."""
+        s2 = _proj(ep6[:3])
+        e2 = _proj(ep6[3:])
+        return st._replace(
+            kf_line_ep=st.kf_line_ep.at[k, slot].set(
+                jnp.asarray(np.concatenate([s2, e2]))),
+            kf_ldesc=st.kf_ldesc.at[k, slot].set(jnp.asarray(desc)),
+            kf_line_valid=st.kf_line_valid.at[k, slot].set(True),
+        )
+
+    def test_same_observation_duplicate_merges(self):
+        st = self._line_state()
         d = _desc(2)
-        # parallel, same direction, but 0.5 apart laterally (>> 2% of 5)
+        epA = np.asarray([0.0, 1.0, 5.0, 2.0, 1.0, 5.0], np.float32)
+        epB = epA + np.asarray([0.01, 0, 0, 0.01, 0, 0], np.float32)
         st = st._replace(
-            ml_endpoints=st.ml_endpoints
-                .at[0].set(jnp.asarray([0.0, 1.0, 5.0, 2.0, 1.0, 5.0]))
-                .at[1].set(jnp.asarray([0.0, 1.5, 5.0, 2.0, 1.5, 5.0])),
+            ml_endpoints=st.ml_endpoints.at[0].set(jnp.asarray(epA))
+                                         .at[1].set(jnp.asarray(epB)),
             ml_valid=st.ml_valid.at[:2].set(True),
             ml_desc=st.ml_desc.at[0].set(jnp.asarray(d)).at[1].set(jnp.asarray(d)),
-            ml_first_kf=st.ml_first_kf.at[0].set(0).at[1].set(3),
+            kf_line_ml=st.kf_line_ml.at[0, 0].set(0).at[0, 3].set(0)
+                                    .at[3, 1].set(1),
         )
-        out = lm.fuse_duplicate_lines(st, jnp.asarray(3), jnp.asarray(4), INTR, CFG)
+        # give A a second observation so it is the keeper
+        st = st._replace(kf_line_ml=st.kf_line_ml.at[1, 0].set(0),
+                         kf_valid=st.kf_valid.at[1].set(True))
+        st = self._obs_line(st, 0, 0, epA, d)
+        out = lm.fuse_projected_lines(st, jnp.asarray(3), _nb(0), INTR, CFG)
+        assert not bool(out.ml_valid[1])
+        assert bool(out.ml_valid[0])
+        assert int(out.kf_line_ml[3, 1]) == 0
+
+    def test_parallel_but_offset_lines_survive(self):
+        st = self._line_state()
+        d = _desc(3)
+        epA = np.asarray([0.0, 1.0, 5.0, 2.0, 1.0, 5.0], np.float32)
+        epB = np.asarray([0.0, 1.5, 5.0, 2.0, 1.5, 5.0], np.float32)  # 48 px off
+        st = st._replace(
+            ml_endpoints=st.ml_endpoints.at[0].set(jnp.asarray(epA))
+                                         .at[1].set(jnp.asarray(epB)),
+            ml_valid=st.ml_valid.at[:2].set(True),
+            ml_desc=st.ml_desc.at[0].set(jnp.asarray(d)).at[1].set(jnp.asarray(d)),
+            kf_line_ml=st.kf_line_ml.at[0, 0].set(0).at[3, 1].set(1),
+        )
+        st = self._obs_line(st, 0, 0, epA, d)
+        out = lm.fuse_projected_lines(st, jnp.asarray(3), _nb(0), INTR, CFG)
         assert bool(out.ml_valid[0]) and bool(out.ml_valid[1])
 
 
