@@ -277,7 +277,11 @@ class LoopCloser:
         exclude = np.zeros(state.kf_valid.shape[0], bool)
         exclude[neighbors] = True
         lo = max(k - self.min_gap, 0)
-        exclude[lo : k + 1] = True
+        # exclude the recent window AND everything newer than k: keyframes
+        # are fed in batches after each scan chunk, so "future" keyframes
+        # can already sit in the map when k is processed — online
+        # semantics (reference LoopClosing runs per-KF) must not see them
+        exclude[lo:] = True
         scores = np.asarray(
             bow.query_database(
                 jnp.asarray(self.kf_bows[k]),
@@ -319,6 +323,10 @@ class LoopCloser:
 
         Returns (S_k_cand 4x4, n_proj_matches) or None. S maps
         candidate-camera coords into current-keyframe-camera coords."""
+        if k not in self.kf_words:
+            self._index_keyframe(state, k)
+        if cand not in self.kf_words:
+            self._index_keyframe(state, cand)
         words_k = self.kf_words.get(k)
         words_c = self.kf_words.get(cand)
         if words_k is None or words_c is None:

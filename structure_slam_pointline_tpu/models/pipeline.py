@@ -300,12 +300,15 @@ def slam_step(
     # health gate at the reference's thresholds: 30 inliers to stay OK,
     # 50 to come back from LOST — and the stricter 50 holds for
     # max_frames frames after a recovery (Tracking.cc:284-287, 1371)
+    # the 50-inlier bar applies on the first frame back from LOST and
+    # while the post-RELOCALIZATION hold runs (armed by the host reloc
+    # path, Tracking.cc:284/1371). It must NOT re-arm on ordinary lost
+    # frames: that ratchet starved long sequences (a dip below 50 within
+    # the window reset it, locking the system out permanently).
     strict = (~carry.ok) | (carry.recover_hold > 0)
     ok = n_inl >= jnp.where(strict, cfg.keyframe.min_inliers_recover,
                             cfg.keyframe.min_inliers_healthy)
-    recover_hold = jnp.where(
-        ok, jnp.maximum(carry.recover_hold - 1, 0),
-        jnp.asarray(cfg.keyframe.max_frames, jnp.int32))
+    recover_hold = jnp.maximum(carry.recover_hold - 1, 0)
 
     # keyframe decision (Tracking::NeedNewKeyFrame distilled:
     # c1a = stale, c1b = weak + min_frames elapsed, Tracking.cc:1435-1453)

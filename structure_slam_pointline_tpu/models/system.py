@@ -79,6 +79,7 @@ class SLAMSystem:
         self._lost_count = 0
         self.carry: Optional[pipeline.SLAMCarry] = None  # device pipeline state
         self._loop_closer = None  # lazy: shared vocabulary + BoW index
+        self._lc_processed_kf = 2  # keyframes already fed to loop closing
         self.localization_mode = False  # True: track only, never extend the map
 
     # ------------------------------------------------------------------ #
@@ -260,11 +261,12 @@ class SLAMSystem:
     def _loop_close_new_keyframes(self) -> None:
         """Feed every keyframe inserted since the last call through the
         loop closer (reference LocalMapping.cc:151 enqueues each new KF
-        for LoopClosing)."""
-        prev = self.cur.n_kf
+        for LoopClosing). Tracks its own cursor — the allocation cursors
+        may have been synced (or compacted) since the last call."""
         self.sync_cursors()
-        for k in range(max(prev, 2), self.cur.n_kf):
+        for k in range(max(self._lc_processed_kf, 2), self.cur.n_kf):
             self._run_loop_closing(k)
+        self._lc_processed_kf = self.cur.n_kf
 
     # ------------------------------------------------------------------ #
     # initialization (reference Tracking::MonocularInitialization, 328-410)
@@ -485,6 +487,9 @@ class SLAMSystem:
             T_last=jnp.asarray(T, jnp.float32),
             velocity=jnp.eye(4, dtype=jnp.float32),
             ok=jnp.asarray(True),
+            # hold the stricter 50-inlier gate for max_frames after a
+            # relocalization (reference Tracking.cc:284, 1371)
+            recover_hold=jnp.asarray(self.cfg.keyframe.max_frames, jnp.int32),
         )
         self.last_T = np.asarray(T)
         self.state = TrackingState.OK
@@ -572,6 +577,9 @@ class SLAMSystem:
         """Resume full SLAM (reference System.cc:133-142)."""
         self.localization_mode = False
 
+    def _reset_lc_cursor(self) -> None:
+        self._lc_processed_kf = 2
+
     def reset(self) -> None:
         """Clear the map and return to the uninitialized state
         (reference System::Reset -> Tracking::Reset, Tracking.cc:2123-2165).
@@ -588,6 +596,7 @@ class SLAMSystem:
         self.ref_frame_id = -1
         self.carry = None
         self._lost_count = 0
+        self._lc_processed_kf = 2
 
     def shutdown(self) -> None:
         """Flush device work; mirrors System::Shutdown (System.cc:185-204).
@@ -631,6 +640,8 @@ class SLAMSystem:
             self.metrics.count("compact_keyframes")
             if self._loop_closer is not None:
                 self._loop_closer.remap_keyframes(np.asarray(perm))
+            # all surviving keyframes are renumbered below the new cursor
+            self._lc_processed_kf = min(self._lc_processed_kf, n_kf)
         if changed:
             self.map = st
             self.carry = self.carry._replace(
