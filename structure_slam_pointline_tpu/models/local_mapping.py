@@ -656,6 +656,18 @@ def fuse_duplicate_lines_3d(state: MapState, k_new: jnp.ndarray, n_kf: jnp.ndarr
     return state._replace(ml_valid=ml_valid, kf_line_ml=kf_line_ml)
 
 
+def _compose_redirect(redirect: jnp.ndarray) -> jnp.ndarray:
+    """Resolve merge-redirect chains transitively: three pointer-jumping
+    passes (`r = r[r]`) resolve chains up to 2^3 = 8 deep — far beyond
+    any chain a single fuse pass can build (each merge invalidates its
+    source, so sources never re-merge; only destinations can later merge
+    again, and at most once per neighbor direction). Cycles cannot form:
+    a merged (invalidated) landmark never reappears as a destination."""
+    for _ in range(3):
+        redirect = redirect[redirect]
+    return redirect
+
+
 def _dedup_row_table(tbl: jnp.ndarray, cap: int) -> jnp.ndarray:
     """Clear repeated landmark ids within each row (keep first occurrence):
     redirects can map two features of one KF onto the same landmark, and
@@ -690,8 +702,10 @@ def fuse_projected_points(state: MapState, k_new: jnp.ndarray,
     Unlike the retired 3D-radius heuristic (fuse_duplicate_points_3d),
     nearby-in-3D landmarks with similar descriptors survive as long as no
     keyframe actually sees them at the same feature — e.g. repeating
-    fronto-parallel structure. Merge redirects resolve one hop per call
-    (subsequent keyframe events resolve chains)."""
+    fronto-parallel structure. Merge redirects are composed transitively
+    before writeback (a->b->c chains resolve to c within this call, so
+    chained-merge observations land on the surviving landmark instead of
+    being cleared)."""
     K, F = state.kf_kp_mp.shape
     P = state.mp_valid.shape[0]
     W = nb_ids.shape[0]
@@ -759,6 +773,7 @@ def fuse_projected_points(state: MapState, k_new: jnp.ndarray,
     init = (state.kf_kp_mp, state.mp_valid,
             jnp.arange(P, dtype=jnp.int32))
     kf_kp_mp, mp_valid, redirect = jax.lax.fori_loop(0, W, body, init)
+    redirect = _compose_redirect(redirect)
     kf_kp_mp = jnp.where(
         kf_kp_mp >= 0, redirect[jnp.clip(kf_kp_mp, 0, P - 1)], kf_kp_mp)
     kf_kp_mp = jnp.where(
@@ -850,6 +865,7 @@ def fuse_projected_lines(state: MapState, k_new: jnp.ndarray,
 
     init = (state.kf_line_ml, state.ml_valid, jnp.arange(L, dtype=jnp.int32))
     kf_line_ml, ml_valid, redirect = jax.lax.fori_loop(0, W, body, init)
+    redirect = _compose_redirect(redirect)
     kf_line_ml = jnp.where(
         kf_line_ml >= 0, redirect[jnp.clip(kf_line_ml, 0, L - 1)], kf_line_ml)
     kf_line_ml = jnp.where(

@@ -175,7 +175,12 @@ def _loop_fuse(state: MapState, tgt_ids, pool_ids, intr: Intrinsics,
         row = kf_kp_mp[t].at[jnp.where(add, feat, F)].set(
             jnp.where(pool_ids >= 0, pool_ids, -1), mode="drop")
         kf_kp_mp = kf_kp_mp.at[t].set(row)
-    # apply redirects everywhere, then drop any within-row duplicates
+    # apply redirects everywhere, then drop any within-row duplicates.
+    # The ~is_pool guard above keeps chains from forming (sources are
+    # never pool members, destinations always are), but compose anyway so
+    # the invariant holds even if the guard's conditions change.
+    from structure_slam_pointline_tpu.models.local_mapping import _compose_redirect
+    redirect = _compose_redirect(redirect)
     tbl = jnp.where(kf_kp_mp >= 0, redirect[jnp.clip(kf_kp_mp, 0, P - 1)],
                     kf_kp_mp)
     return state._replace(kf_kp_mp=_dedup_rows(tbl, P), mp_valid=mp_valid)

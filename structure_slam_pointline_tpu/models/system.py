@@ -638,10 +638,11 @@ class SLAMSystem:
             n_kf = int(n_kf_j)
             changed = True
             self.metrics.count("compact_keyframes")
+            perm_np = np.asarray(perm)
             if self._loop_closer is not None:
-                self._loop_closer.remap_keyframes(np.asarray(perm))
-            # all surviving keyframes are renumbered below the new cursor
-            self._lc_processed_kf = min(self._lc_processed_kf, n_kf)
+                self._loop_closer.remap_keyframes(perm_np)
+            self._lc_processed_kf = _remap_kf_cursor(
+                perm_np, self._lc_processed_kf)
         if changed:
             self.map = st
             self.carry = self.carry._replace(
@@ -699,6 +700,18 @@ class SLAMSystem:
                     f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
                     f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
                 )
+
+
+def _remap_kf_cursor(perm: np.ndarray, cursor: int) -> int:
+    """Map a 'keyframes [0, cursor) already processed' cursor through a
+    compaction permutation (`perm` is the [K] new->old id map, -1 pad).
+    The new cursor is the number of SURVIVING keyframes whose old id was
+    below it — NOT min(cursor, n_kf), which over-counts whenever
+    keyframes below the cursor were culled and would permanently skip
+    the still-unprocessed keyframes above it (they would never be
+    BoW-indexed or queried for loops)."""
+    live = perm[perm >= 0]
+    return int((live < cursor).sum())
 
 
 from functools import partial as _partial

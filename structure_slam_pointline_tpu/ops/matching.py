@@ -59,6 +59,12 @@ def masked_match(
         # it; exact-distance ties break STRICTLY by the lowest row index,
         # so a column is claimed by exactly one row (the reference's
         # duplicate-erase keeps one match per feature too)
+        # the lexicographic key of a VALID row must stay strictly below
+        # the _BIG sentinel or the column-min silently drops real matches
+        # (m is static at trace time, so this is a free compile-time guard)
+        assert (max_dist + 1) * m < _BIG, (
+            f"masked_match key overflow: ({max_dist}+1)*{m} >= {_BIG}; "
+            "widen _BIG or reduce max_dist/rows")
         row_ids = jnp.arange(m, dtype=best.dtype)
         # lexicographic (dist, row) key; valid rows have dist <= max_dist
         # (<= 256), so key stays far from the _BIG sentinel

@@ -114,7 +114,13 @@ def compact_keyframes(state: MapState):
     live = perm >= 0
     src = jnp.clip(perm, 0, K - 1)
     # old id -> new id of itself (if alive) or its last surviving
-    # predecessor: cumsum(valid) - 1, clipped at 0
+    # predecessor: cumsum(valid) - 1, clipped at 0. NOTE: a culled
+    # keyframe that precedes the FIRST survivor has no predecessor and
+    # clips to new id 0 — a surviving SUCCESSOR — so first/last-KF stamps
+    # in that prefix shift slightly forward in time, marginally inflating
+    # those landmarks' "youth" for the recency-window culling logic.
+    # Harmless in practice (keyframes 0/1 are cull-protected, so the
+    # prefix is empty in normal operation), documented for completeness.
     stamp_map = jnp.clip(
         jnp.cumsum(state.kf_valid.astype(jnp.int32)) - 1, 0, K - 1)
 

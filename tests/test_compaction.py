@@ -72,6 +72,25 @@ class TestCompactUnits:
         assert int(out.mp_first_kf[0]) == 1
         assert int(out.mp_last_kf[0]) == 3   # old 6 -> new 3
 
+    def test_loop_closing_cursor_remaps_through_permutation(self):
+        """Keyframes BELOW the loop-closing cursor being culled must pull
+        the cursor down by exactly the number culled, so the keyframes
+        above it (still unprocessed) are not skipped."""
+        from structure_slam_pointline_tpu.models.system import _remap_kf_cursor
+
+        K = 16
+        # old ids 0..9 existed; 2 and 5 culled -> survivors renumber
+        perm = np.full(K, -1, np.int32)
+        perm[:8] = [0, 1, 3, 4, 6, 7, 8, 9]
+        # cursor 6: old ids 0..5 processed; survivors below 6 = {0,1,3,4}
+        assert _remap_kf_cursor(perm, 6) == 4
+        # cursor 10 (everything processed) -> all 8 survivors
+        assert _remap_kf_cursor(perm, 10) == 8
+        # cursor 0 -> nothing processed
+        assert _remap_kf_cursor(perm, 0) == 0
+        # no culling below the cursor: cursor unchanged
+        assert _remap_kf_cursor(perm, 2) == 2
+
 
 class TestSystemLongRun:
     def test_tracking_survives_tiny_pools(self):

@@ -101,6 +101,59 @@ class TestFusePoints:
         assert not bool(out3d.mp_valid[1])
 
 
+class TestRedirectChains:
+    def test_compose_redirect_resolves_deep_chains(self):
+        r = np.arange(16, dtype=np.int32)
+        # chain 0 -> 1 -> 2 -> 3 -> 4 (4 hops)
+        r[0], r[1], r[2], r[3] = 1, 2, 3, 4
+        out = np.asarray(lm._compose_redirect(jnp.asarray(r)))
+        assert out[0] == 4 and out[1] == 4 and out[2] == 4 and out[3] == 4
+        assert (out[5:] == np.arange(5, 16)).all()
+
+    def test_three_deep_merge_chain_resolves_in_one_call(self):
+        """A (new KF's binding) merges into B via neighbor KF0, B merges
+        into C via neighbor KF1 — all within ONE fuse_projected_points
+        call. The transitive redirect composition must land the new KF's
+        observation on the SURVIVOR C instead of clearing it (the old
+        one-hop writeback dropped it because B is invalidated)."""
+        st = map_store.init_map(CFG)
+        st = st._replace(
+            kf_valid=st.kf_valid.at[jnp.asarray([0, 1, 3, 4, 5])].set(True))
+        d = _desc(7)
+        A = np.asarray([1.0, 1.0, 5.0], np.float32)
+        B = A + np.asarray([0.002, 0, 0], np.float32)
+        C = A + np.asarray([0.004, 0, 0], np.float32)
+        uvA = _proj(A)
+        st = st._replace(
+            mp_xyz=st.mp_xyz.at[0].set(jnp.asarray(A))
+                          .at[1].set(jnp.asarray(B))
+                          .at[2].set(jnp.asarray(C)),
+            mp_valid=st.mp_valid.at[:3].set(True),
+            mp_desc=st.mp_desc.at[0].set(jnp.asarray(d))
+                            .at[1].set(jnp.asarray(d))
+                            .at[2].set(jnp.asarray(d)),
+            # obs counts pick merge direction: A(1) < B(2) < C(3)
+            kf_kp_mp=st.kf_kp_mp
+                .at[3, 7].set(0)                       # new KF sees A
+                .at[0, 5].set(1).at[4, 1].set(1)       # B: 2 obs
+                .at[1, 5].set(2).at[4, 2].set(2).at[5, 0].set(2),  # C: 3 obs
+            kf_xy=st.kf_xy.at[0, 5].set(jnp.asarray(uvA))
+                         .at[1, 5].set(jnp.asarray(uvA))
+                         .at[3, 7].set(jnp.asarray(uvA)),
+            kf_desc=st.kf_desc.at[0, 5].set(jnp.asarray(d))
+                             .at[1, 5].set(jnp.asarray(d))
+                             .at[3, 7].set(jnp.asarray(d)),
+            kf_kp_valid=st.kf_kp_valid.at[0, 5].set(True)
+                                      .at[1, 5].set(True)
+                                      .at[3, 7].set(True),
+        )
+        out = lm.fuse_projected_points(st, jnp.asarray(3), _nb(0, 1), INTR, CFG)
+        assert not bool(out.mp_valid[0]) and not bool(out.mp_valid[1])
+        assert bool(out.mp_valid[2])
+        # the new KF's observation followed the chain A -> B -> C
+        assert int(out.kf_kp_mp[3, 7]) == 2
+
+
 class TestFuseLines:
     def _line_state(self):
         st = map_store.init_map(CFG)
