@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = (
     "frontend", "lsd", "lbd", "track", "pass1", "pass2", "covis_local_map",
-    "counters", "kf_pipeline", "ba", "fuse", "cull", "triangulate",
+    "counters", "kf_insert", "triangulate", "fuse", "gather_ba", "ba",
+    "cull", "obs_bits",
 )
 
 

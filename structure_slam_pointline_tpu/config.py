@@ -195,6 +195,12 @@ class SLAMConfig:
     seed: int = 0                    # deterministic RANSAC (ref: DUtils::Random seed 0)
     use_lines: bool = True
     enable_loop_closing: bool = False  # reference ships with the thread disabled (System.cc:98)
+    # Comma-separated keyframe-pipeline stage skips for perf ATTRIBUTION
+    # (scripts/bench_stages.py times scan variants and differences them);
+    # not a production knob. Recognized: "nb1" (triangulate vs 1 neighbor
+    # only), "no_line_tri", "no_fuse", "no_obs_bits", "no_ba", "no_cull",
+    # "no_kf" (skip the entire keyframe pipeline).
+    ablate: str = ""
 
     def replace(self, **kw) -> "SLAMConfig":
         return dataclasses.replace(self, **kw)

@@ -112,6 +112,72 @@ def make_room_scene(n_points: int = 300, n_lines: int = 24, seed: int = 0,
     )
 
 
+def make_cylinder_scene(n_points: int = 700, n_lines: int = 48, seed: int = 0,
+                        radius: float = 6.0, height: float = 3.0,
+                        tex: int = 9) -> Scene:
+    """Landmark patches on the inside of a surrounding cylinder wall, plus
+    vertical line segments on the wall: the outward-looking loop scene.
+    Each view sees only a ~90 deg arc of the wall, so the trajectory start
+    is invisible for most of a lap — a genuine revisit for loop closing
+    (the reference's KITTI/TUM loop sequences have this structure; the
+    wall scene of make_room_scene never leaves the field of view)."""
+    g = np.random.default_rng(seed)
+    phi = g.uniform(0, 2 * np.pi, n_points)
+    y = g.uniform(-height / 2, height / 2, n_points)
+    r = radius + g.uniform(-0.3, 0.3, n_points)
+    pts = np.stack([r * np.cos(phi), y, r * np.sin(phi)], 1).astype(np.float32)
+    patch_tex = g.integers(0, 2, size=(n_points, tex, tex)).astype(np.float32) * 200.0 + 30.0
+    # patch plane spanned by the wall tangent and the vertical
+    tang = np.stack([-np.sin(phi), np.zeros(n_points), np.cos(phi)], 1).astype(np.float32)
+    vert = np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), (n_points, 1))
+    # random in-plane spin so BRIEF sees varied orientations
+    ang = g.uniform(0, 2 * np.pi, n_points).astype(np.float32)[:, None]
+    ax0 = np.cos(ang) * tang + np.sin(ang) * vert
+    ax1 = -np.sin(ang) * tang + np.cos(ang) * vert
+    axes = np.stack([ax0, ax1], axis=1)
+
+    lines = []
+    for _ in range(n_lines):
+        lp = g.uniform(0, 2 * np.pi)
+        lr = radius - 0.15
+        x, z = lr * np.cos(lp), lr * np.sin(lp)
+        if g.uniform() < 0.6:  # vertical wall line
+            y0 = g.uniform(-height / 2, 0.0)
+            y1 = y0 + g.uniform(1.0, height / 2 - y0 + 1.0)
+            lines.append([x, y0, z, x, y1, z])
+        else:  # horizontal chord along the wall
+            dp = g.uniform(0.15, 0.35)
+            ly = g.uniform(-height / 2, height / 2)
+            lines.append([x, ly, z,
+                          lr * np.cos(lp + dp), ly, lr * np.sin(lp + dp)])
+    return Scene(
+        points=pts, patch_tex=patch_tex, patch_axes=axes, patch_size=0.12,
+        lines=np.asarray(lines, np.float32),
+    )
+
+
+def loop_trajectory(n_frames: int, laps: float = 2.2, cam_radius: float = 2.0,
+                    bob: float = 0.05) -> np.ndarray:
+    """[N, 4, 4] T_wc: camera on a circle of `cam_radius`, view axis
+    pointing radially outward, `laps` revolutions. Frames past one lap
+    revisit earlier views — the loop-closing trajectory (odometry drift
+    accumulates over the lap; the revisit is where a loop detector must
+    fire). A small vertical bob keeps two-view init parallax healthy."""
+    ts = np.linspace(0, 2 * np.pi * laps, n_frames)
+    poses = []
+    for t in ts:
+        c = np.array([cam_radius * np.cos(t), bob * np.sin(3 * t),
+                      cam_radius * np.sin(t)])
+        fwd = np.array([np.cos(t), 0.0, np.sin(t)])    # outward view
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        T = np.eye(4)
+        T[:3, :3] = np.stack([right, up, fwd], axis=1)  # columns = cam axes
+        T[:3, 3] = c
+        poses.append(T)
+    return np.asarray(poses, np.float32)
+
+
 def circular_trajectory(n_frames: int, radius: float = 0.4, yaw_amp: float = 0.06,
                         z_amp: float = 0.15, seed: int = 1) -> np.ndarray:
     """[N, 4, 4] ground-truth camera-to-world poses T_wc on a smooth arc."""
@@ -303,6 +369,7 @@ def ate_rmse(est_Twc: np.ndarray, gt_Twc: np.ndarray, align: bool = True) -> flo
 
 
 __all__ = [
-    "Scene", "make_room_scene", "circular_trajectory", "sweep_trajectory",
-    "render", "render_sequence", "ate_rmse",
+    "Scene", "make_room_scene", "make_cylinder_scene", "circular_trajectory",
+    "sweep_trajectory", "loop_trajectory", "render", "render_sequence",
+    "ate_rmse",
 ]

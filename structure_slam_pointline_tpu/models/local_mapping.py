@@ -172,39 +172,40 @@ class NewPointsResult(NamedTuple):
 def create_new_points(
     state: MapState,
     k_new: jnp.ndarray,       # new keyframe slot
-    k_ref: jnp.ndarray,       # neighbor keyframe slot to triangulate against
+    nb_ids: jnp.ndarray,      # [NB] neighbor keyframe slots (-1 pad)
     n_mp: jnp.ndarray,        # current landmark cursor (device scalar)
     intr: Intrinsics,
     cfg: SLAMConfig,
 ) -> NewPointsResult:
-    """Triangulate new landmarks from unmatched features of two keyframes.
+    """Triangulate new landmarks from the new keyframe's unmatched
+    features against ALL `nb_ids` covisible neighbors in ONE batched pass.
 
     Equivalent of LocalMapping::CreateNewMapPoints (reference
-    LocalMapping.cc:371-637): epipolar-gated descriptor matching between
-    the keyframes' unbound features, DLT triangulation, and the
-    depth/parallax/reprojection acceptance gates — all in one batch.
+    LocalMapping.cc:371-637, which loops the covisible neighbor set):
+    per-neighbor epipolar-gated descriptor matching between unbound
+    features, DLT triangulation, and the depth/parallax/reprojection
+    acceptance gates — all neighbors vmapped into [NB, F, F] batched
+    matrix work (one MXU Hamming batch instead of NB sequential rounds),
+    then each new-KF feature keeps its FIRST (strongest-covisibility)
+    accepting neighbor, mirroring the sequential early-binding order.
     """
     F = state.kf_xy.shape[1]
     P = state.mp_valid.shape[0]
+    K_cap = state.kf_valid.shape[0]
     T1 = state.kf_T_cw[k_new]
-    T2 = state.kf_T_cw[k_ref]
     K = intr.K
+    sf = cfg.frontend.scale_factor
 
     free1 = state.kf_kp_valid[k_new] & (state.kf_kp_mp[k_new] < 0)
-    free2 = state.kf_kp_valid[k_ref] & (state.kf_kp_mp[k_ref] < 0)
+    uv1 = state.kf_xy[k_new]
+    oct1 = state.kf_octave[k_new]
+    sig2_1 = jnp.power(sf, 2.0 * oct1.astype(jnp.float32))
+    p1 = jnp.concatenate([uv1, jnp.ones((F, 1))], axis=1)
+    P1 = K @ T1[:3, :4]
+    c1 = -T1[:3, :3].T @ T1[:3, 3]
 
     from structure_slam_pointline_tpu.utils import lie as _lie
 
-    # fundamental matrix F12 = K^-T [t]x R K^-1 (LocalMapping.cc:1286-1303)
-    T12 = T1 @ _lie.se3_inverse(T2)  # closed-form rigid inverse (no LU loop)
-    R12, t12 = T12[:3, :3], T12[:3, 3]
-    tx = jnp.array(
-        [
-            [0.0, -t12[2], t12[1]],
-            [t12[2], 0.0, -t12[0]],
-            [-t12[1], t12[0], 0.0],
-        ]
-    )
     # closed-form inverse of the upper-triangular K
     z = jnp.zeros(())
     Kinv = jnp.stack([
@@ -212,68 +213,89 @@ def create_new_points(
         jnp.stack([z, 1.0 / intr.fy, -intr.cy / intr.fy]),
         jnp.stack([z, z, jnp.ones(())]),
     ])
-    F12 = Kinv.T @ tx @ R12 @ Kinv
 
-    uv1 = state.kf_xy[k_new]
-    uv2 = state.kf_xy[k_ref]
-    p1 = jnp.concatenate([uv1, jnp.ones((F, 1))], axis=1)
-    p2 = jnp.concatenate([uv2, jnp.ones((F, 1))], axis=1)
-    # epipolar distance of every candidate pair [F1, F2]
-    l2 = p1 @ F12                       # lines in image 2
-    num = l2 @ p2.T                     # [F1, F2] signed distances * norm
-    d2 = num ** 2 / jnp.maximum((l2[:, 0] ** 2 + l2[:, 1] ** 2)[:, None], 1e-12)
-    sig2_2 = jnp.power(cfg.frontend.scale_factor, 2.0 * state.kf_octave[k_ref].astype(jnp.float32))
-    epi_ok = d2 <= 3.84 * sig2_2[None, :]
+    nb_safe = jnp.clip(nb_ids, 0, K_cap - 1)
+    nb_present = (nb_ids >= 0) & state.kf_valid[nb_safe] & (nb_safe != k_new)
 
-    D = hamming.hamming_matrix(state.kf_desc[k_new], state.kf_desc[k_ref])
-    allow = epi_ok & free1[:, None] & free2[None, :]
-    allow &= jnp.abs(state.kf_octave[k_new][:, None] - state.kf_octave[k_ref][None, :]) <= 1
-    m = matching.masked_match(D, allow, max_dist=cfg.matching.th_low, ratio=0.8)
+    def per_neighbor(k_ref, pres):
+        T2 = state.kf_T_cw[k_ref]
+        free2 = state.kf_kp_valid[k_ref] & (state.kf_kp_mp[k_ref] < 0) & pres
+        # fundamental matrix F12 = K^-T [t]x R K^-1 (LocalMapping.cc:1286-1303)
+        T12 = T1 @ _lie.se3_inverse(T2)
+        R12, t12 = T12[:3, :3], T12[:3, 3]
+        tx = jnp.array(
+            [
+                [0.0, -t12[2], t12[1]],
+                [t12[2], 0.0, -t12[0]],
+                [-t12[1], t12[0], 0.0],
+            ]
+        )
+        F12 = Kinv.T @ tx @ R12 @ Kinv
+        uv2 = state.kf_xy[k_ref]
+        p2 = jnp.concatenate([uv2, jnp.ones((F, 1))], axis=1)
+        l2 = p1 @ F12                   # epipolar lines in image 2
+        num = l2 @ p2.T                 # [F, F] signed distances * norm
+        d2 = num ** 2 / jnp.maximum(
+            (l2[:, 0] ** 2 + l2[:, 1] ** 2)[:, None], 1e-12)
+        oct2 = state.kf_octave[k_ref]
+        sig2_2 = jnp.power(sf, 2.0 * oct2.astype(jnp.float32))
+        epi_ok = d2 <= 3.84 * sig2_2[None, :]
+        D = hamming.hamming_matrix(state.kf_desc[k_new], state.kf_desc[k_ref])
+        allow = epi_ok & free1[:, None] & free2[None, :]
+        allow &= jnp.abs(oct1[:, None] - oct2[None, :]) <= 1
+        m = matching.masked_match(D, allow, max_dist=cfg.matching.th_low,
+                                  ratio=0.8)
+        # triangulate matched pairs + acceptance gates (LocalMapping.cc:497-616)
+        P2 = K @ T2[:3, :4]
+        uv2m = uv2[m.idx]
+        X = twoview.triangulate(P1, P2, uv1, uv2m)  # [F, 3] world
 
-    # triangulate matched pairs
-    P1 = K @ T1[:3, :4]
-    P2 = K @ T2[:3, :4]
-    uv2m = uv2[m.idx]
-    X = twoview.triangulate(P1, P2, uv1, uv2m)  # [F, 3] world coords
+        def cam_depth(T, X):
+            return (X @ T[:3, :3].T + T[:3, 3])[:, 2]
 
-    # acceptance gates (LocalMapping.cc:497-616)
-    def cam_depth(T, X):
-        return (X @ T[:3, :3].T + T[:3, 3])[:, 2]
+        def reproj_err(T, X, uv):
+            pc = X @ T[:3, :3].T + T[:3, 3]
+            zz = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+            u = intr.fx * pc[:, 0] / zz + intr.cx
+            v = intr.fy * pc[:, 1] / zz + intr.cy
+            return (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
 
-    z1 = cam_depth(T1, X)
-    z2 = cam_depth(T2, X)
+        z1 = cam_depth(T1, X)
+        z2 = cam_depth(T2, X)
+        e1 = reproj_err(T1, X, uv1)
+        e2 = reproj_err(T2, X, uv2m)
+        c2 = -T2[:3, :3].T @ T2[:3, 3]
+        r1 = X - c1
+        r2 = X - c2
+        cosp = jnp.sum(r1 * r2, axis=1) / jnp.maximum(
+            jnp.linalg.norm(r1, axis=1) * jnp.linalg.norm(r2, axis=1), 1e-12
+        )
+        good = (
+            m.valid
+            & (z1 > 0.05) & (z2 > 0.05)
+            & (cosp < 0.9998)
+            & (e1 <= 5.991 * sig2_1)
+            & (e2 <= 5.991 * sig2_2[m.idx])
+            & jnp.all(jnp.isfinite(X), axis=1)
+        )
+        return m.idx, good, X
 
-    def reproj_err(T, X, uv):
-        pc = X @ T[:3, :3].T + T[:3, 3]
-        zz = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
-        u = intr.fx * pc[:, 0] / zz + intr.cx
-        v = intr.fy * pc[:, 1] / zz + intr.cy
-        return (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+    ref_idx, good, X_nb = jax.vmap(per_neighbor)(nb_safe, nb_present)
+    NBW = nb_ids.shape[0]
+    # first accepting neighbor per feature (covisibility-strength order,
+    # matching the retired sequential fori_loop's early-binding semantics)
+    dir_of = jnp.argmin(
+        jnp.where(good, jnp.arange(NBW, dtype=jnp.int32)[:, None], NBW), axis=0)
+    chosen = jnp.any(good, axis=0)                         # [F]
+    fidx = jnp.arange(F)
+    Xc = X_nb[dir_of, fidx]                                # [F, 3]
+    refc = ref_idx[dir_of, fidx]                           # [F] ref feature
+    nbc = nb_safe[dir_of]                                  # [F] ref keyframe
 
-    sig2_1 = jnp.power(cfg.frontend.scale_factor, 2.0 * state.kf_octave[k_new].astype(jnp.float32))
-    e1 = reproj_err(T1, X, uv1)
-    e2 = reproj_err(T2, X, uv2m)
-    # parallax
-    c1 = -T1[:3, :3].T @ T1[:3, 3]
-    c2 = -T2[:3, :3].T @ T2[:3, 3]
-    r1 = X - c1
-    r2 = X - c2
-    cosp = jnp.sum(r1 * r2, axis=1) / jnp.maximum(
-        jnp.linalg.norm(r1, axis=1) * jnp.linalg.norm(r2, axis=1), 1e-12
-    )
-    good = (
-        m.valid
-        & (z1 > 0.05) & (z2 > 0.05)
-        & (cosp < 0.9998)
-        & (e1 <= 5.991 * sig2_1)
-        & (e2 <= 5.991 * sig2_2[m.idx])
-        & jnp.all(jnp.isfinite(X), axis=1)
-    )
-
-    # allocate slots n_mp + rank among good (fixed MAX_NEW_POINTS budget)
-    order = jnp.nonzero(good, size=MAX_NEW_POINTS, fill_value=-1)[0]  # feature idx
+    # allocate slots n_mp + rank among chosen (fixed MAX_NEW_POINTS budget)
+    order = jnp.nonzero(chosen, size=MAX_NEW_POINTS, fill_value=-1)[0]
     taking = order >= 0
-    n_good = jnp.sum(good).astype(jnp.int32)
+    n_good = jnp.sum(chosen).astype(jnp.int32)
     slot = n_mp + jnp.cumsum(taking.astype(jnp.int32)) - 1
     pool_drop = taking & (slot >= P)
     slot = jnp.where(taking & (slot < P), slot, P)  # drop overflow
@@ -283,7 +305,7 @@ def create_new_points(
     feat = jnp.clip(order, 0, F - 1)
 
     st = state._replace(
-        mp_xyz=state.mp_xyz.at[slot].set(X[feat], mode="drop"),
+        mp_xyz=state.mp_xyz.at[slot].set(Xc[feat], mode="drop"),
         mp_valid=state.mp_valid.at[slot].set(True, mode="drop"),
         mp_desc=state.mp_desc.at[slot].set(state.kf_desc[k_new][feat], mode="drop"),
         mp_first_kf=state.mp_first_kf.at[slot].set(k_new.astype(jnp.int32), mode="drop"),
@@ -296,10 +318,9 @@ def create_new_points(
         mp_ring_n=state.mp_ring_n.at[slot].set(1, mode="drop"),
     )
     # scale band + normal from the new KF
-    dist = jnp.linalg.norm(X[feat] - c1, axis=1)
-    nrm = (X[feat] - c1) / jnp.maximum(dist, 1e-9)[:, None]
-    sf = cfg.frontend.scale_factor
-    lvl = state.kf_octave[k_new][feat].astype(jnp.float32)
+    dist = jnp.linalg.norm(Xc[feat] - c1, axis=1)
+    nrm = (Xc[feat] - c1) / jnp.maximum(dist, 1e-9)[:, None]
+    lvl = oct1[feat].astype(jnp.float32)
     dmax = dist * jnp.power(sf, lvl)
     dmin = dmax / (sf ** (cfg.frontend.n_levels - 1))
     st = st._replace(
@@ -309,27 +330,29 @@ def create_new_points(
         mp_dist_max=st.mp_dist_max.at[slot].set(dmax, mode="drop"),
         mp_dist_min=st.mp_dist_min.at[slot].set(dmin, mode="drop"),
     )
-    # bind observations in both keyframes
+    # bind observations: the new KF's row once, plus each taken feature's
+    # chosen neighbor row at its matched ref feature (one 2D scatter; rows
+    # are distinct per direction and masked_match's unique_cols keeps ref
+    # features distinct within a direction, so no write conflicts)
     new_mp_of_feat = jnp.full((F,), -1, jnp.int32).at[feat].set(
         jnp.where(slot < P, slot, -1).astype(jnp.int32), mode="drop"
     )
     kp_mp_new = jnp.where(
         (state.kf_kp_mp[k_new] < 0) & (new_mp_of_feat >= 0), new_mp_of_feat, state.kf_kp_mp[k_new]
     )
-    # reference KF binding via match index
-    ref_bind = jnp.full((F,), -1, jnp.int32)
-    ref_feat = jnp.where(new_mp_of_feat >= 0, m.idx, F)
-    ref_bind = ref_bind.at[ref_feat].set(new_mp_of_feat, mode="drop")
-    kp_mp_ref = jnp.where(
-        (state.kf_kp_mp[k_ref] < 0) & (ref_bind >= 0), ref_bind, state.kf_kp_mp[k_ref]
-    )
+    st = st._replace(kf_kp_mp=st.kf_kp_mp.at[k_new].set(kp_mp_new))
+    ok_new = taking & (slot < P)
+    rows = jnp.where(ok_new, nbc[feat], K_cap)
+    cols = jnp.where(ok_new, refc[feat], F)
     st = st._replace(
-        kf_kp_mp=st.kf_kp_mp.at[k_new].set(kp_mp_new).at[k_ref].set(kp_mp_ref)
+        kf_kp_mp=st.kf_kp_mp.at[rows, cols].set(
+            slot.astype(jnp.int32), mode="drop")
     )
     return NewPointsResult(state=st, n_new=n_new, n_clipped=n_clipped)
 
 
-MAX_NEW_LINES = 64
+MAX_NEW_LINES = 64  # per-KF new-line budget (= n_lines; every observed
+# line of the new KF can in principle triangulate against some neighbor)
 
 
 class NewLinesResult(NamedTuple):
@@ -342,49 +365,37 @@ class NewLinesResult(NamedTuple):
 def create_new_lines(
     state: MapState,
     k_new: jnp.ndarray,
-    k_ref: jnp.ndarray,
+    nb_ids: jnp.ndarray,      # [NB] neighbor keyframe slots (-1 pad)
     n_ml: jnp.ndarray,        # current map-line cursor (device scalar)
     intr: Intrinsics,
     cfg: SLAMConfig,
 ) -> NewLinesResult:
-    """Triangulate new 3D segments from two keyframes' unbound lines.
+    """Triangulate new 3D segments from the new keyframe's unbound lines
+    against ALL `nb_ids` covisible neighbors in one batched pass.
 
     Equivalent of LocalMapping::CreateNewMapLines2 (reference
-    LocalMapping.cc:911-1173): each observed 2D line l defines the plane
-    pi = (K P)^T l through the camera center; two planes intersect in
-    the 3D line, and the new keyframe's endpoint rays cut it into a
-    segment (the reference's two 4x4 SVDs at LocalMapping.cc:1056-1088
-    solve the same ray/plane intersection). Depth/length sanity gates
-    mirror LocalMapping.cc:1096-1148.
-    """
+    LocalMapping.cc:911-1173, which searches the whole covisible neighbor
+    set): each observed 2D line l defines the plane pi = (K P)^T l
+    through the camera center; two planes intersect in the 3D line, and
+    the new keyframe's endpoint rays cut it into a segment (the
+    reference's two 4x4 SVDs at LocalMapping.cc:1056-1088 solve the same
+    ray/plane intersection). Depth/length sanity gates mirror
+    LocalMapping.cc:1096-1148. Each new-KF line keeps its FIRST
+    (strongest-covisibility) accepting neighbor."""
     LF = state.kf_line2d.shape[1]
     L = state.ml_valid.shape[0]
+    K_cap = state.kf_valid.shape[0]
     T1 = state.kf_T_cw[k_new]
-    T2 = state.kf_T_cw[k_ref]
     K = intr.K
 
     free1 = state.kf_line_valid[k_new] & (state.kf_line_ml[k_new] < 0)
-    free2 = state.kf_line_valid[k_ref] & (state.kf_line_ml[k_ref] < 0)
-
-    D = hamming.hamming_matrix(state.kf_ldesc[k_new], state.kf_ldesc[k_ref])
-    allow = free1[:, None] & free2[None, :]
-    m = matching.masked_match(D, allow, max_dist=cfg.matching.th_low)
-    # frame-adaptive MAD margin gate (reference SearchByDescriptor KF-KF,
-    # LSDmatcher.cpp:329-380 / lineDescriptorMAD, Frame.cc:190-216)
-    m = m._replace(valid=matching.mad_margin_gate(
-        D, allow, m, scale=cfg.matching.line_mad_ratio))
-
-    # planes pi = (K [R|t])^T l  (4-vectors)
-    P1 = K @ T1[:3, :4]
-    P2 = K @ T2[:3, :4]
-    l1 = state.kf_line2d[k_new]                  # [LF, 3]
-    l2 = state.kf_line2d[k_ref][m.idx]           # matched ref lines
-    pi2 = l2 @ P2                                # [LF, 4] plane of ref view
-
-    # endpoint rays of the new view in world coords
     c1 = -T1[:3, :3].T @ T1[:3, 3]
     Rwc1 = T1[:3, :3].T
     ep1 = state.kf_line_ep[k_new]                # [LF, 4] (sx, sy, ex, ey)
+    desc1 = state.kf_ldesc[k_new]
+
+    nb_safe = jnp.clip(nb_ids, 0, K_cap - 1)
+    nb_present = (nb_ids >= 0) & state.kf_valid[nb_safe] & (nb_safe != k_new)
 
     def ray_dir(uv):
         xn = jnp.stack(
@@ -393,40 +404,72 @@ def create_new_lines(
         )
         return xn @ Rwc1.T                       # world direction
 
-    def intersect(uv):
-        d = ray_dir(uv)                          # [LF, 3]
-        # lambda = -(pi . [c1, 1]) / (pi . [d, 0])
-        num = pi2[:, :3] @ c1 + pi2[:, 3]
-        den = jnp.sum(pi2[:, :3] * d, axis=1)
-        lam = -num / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
-        return c1 + d * lam[:, None], lam
+    d_s = ray_dir(ep1[:, 0:2])
+    d_e = ray_dir(ep1[:, 2:4])
 
-    Xs, lam_s = intersect(ep1[:, 0:2])
-    Xe, lam_e = intersect(ep1[:, 2:4])
+    def per_neighbor(k_ref, pres):
+        T2 = state.kf_T_cw[k_ref]
+        free2 = state.kf_line_valid[k_ref] & (state.kf_line_ml[k_ref] < 0) & pres
+        D = hamming.hamming_matrix(desc1, state.kf_ldesc[k_ref])
+        allow = free1[:, None] & free2[None, :]
+        m = matching.masked_match(D, allow, max_dist=cfg.matching.th_low)
+        # frame-adaptive MAD margin gate (reference SearchByDescriptor
+        # KF-KF, LSDmatcher.cpp:329-380 / lineDescriptorMAD, Frame.cc:190-216)
+        valid = matching.mad_margin_gate(
+            D, allow, m, scale=cfg.matching.line_mad_ratio)
 
-    def depth_in(T, X):
-        return (X @ T[:3, :3].T + T[:3, 3])[:, 2]
+        # planes pi = (K [R|t])^T l  (4-vectors)
+        P2 = K @ T2[:3, :4]
+        l2 = state.kf_line2d[k_ref][m.idx]       # matched ref lines
+        pi2 = l2 @ P2                            # [LF, 4] plane of ref view
 
-    z1s, z1e = depth_in(T1, Xs), depth_in(T1, Xe)
-    z2s, z2e = depth_in(T2, Xs), depth_in(T2, Xe)
-    seg_len = jnp.linalg.norm(Xe - Xs, axis=1)
-    # depth ratio sanity (LocalMapping.cc:1096-1131): endpoints at similar
-    # depth, segment not absurdly long relative to its distance
-    depth_ratio = jnp.minimum(z1s, z1e) / jnp.maximum(jnp.maximum(z1s, z1e), 1e-9)
-    mid_depth = 0.5 * (z1s + z1e)
-    good = (
-        m.valid
-        & (z1s > 0.05) & (z1e > 0.05) & (z2s > 0.05) & (z2e > 0.05)
-        & (lam_s > 0.0) & (lam_e > 0.0)
-        & (depth_ratio > 0.3)
-        & (seg_len < 1.3 * mid_depth)
-        & (seg_len > 0.01)
-        & jnp.all(jnp.isfinite(Xs), axis=1) & jnp.all(jnp.isfinite(Xe), axis=1)
-    )
+        def intersect(d):
+            # lambda = -(pi . [c1, 1]) / (pi . [d, 0])
+            num = pi2[:, :3] @ c1 + pi2[:, 3]
+            den = jnp.sum(pi2[:, :3] * d, axis=1)
+            lam = -num / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+            return c1 + d * lam[:, None], lam
 
-    order = jnp.nonzero(good, size=MAX_NEW_LINES, fill_value=-1)[0]
+        Xs, lam_s = intersect(d_s)
+        Xe, lam_e = intersect(d_e)
+
+        def depth_in(T, X):
+            return (X @ T[:3, :3].T + T[:3, 3])[:, 2]
+
+        z1s, z1e = depth_in(T1, Xs), depth_in(T1, Xe)
+        z2s, z2e = depth_in(T2, Xs), depth_in(T2, Xe)
+        seg_len = jnp.linalg.norm(Xe - Xs, axis=1)
+        # depth ratio sanity (LocalMapping.cc:1096-1131): endpoints at
+        # similar depth, segment not absurdly long relative to distance
+        depth_ratio = jnp.minimum(z1s, z1e) / jnp.maximum(
+            jnp.maximum(z1s, z1e), 1e-9)
+        mid_depth = 0.5 * (z1s + z1e)
+        good = (
+            valid
+            & (z1s > 0.05) & (z1e > 0.05) & (z2s > 0.05) & (z2e > 0.05)
+            & (lam_s > 0.0) & (lam_e > 0.0)
+            & (depth_ratio > 0.3)
+            & (seg_len < 1.3 * mid_depth)
+            & (seg_len > 0.01)
+            & jnp.all(jnp.isfinite(Xs), axis=1)
+            & jnp.all(jnp.isfinite(Xe), axis=1)
+        )
+        return m.idx, good, Xs, Xe
+
+    ref_idx, good, Xs_nb, Xe_nb = jax.vmap(per_neighbor)(nb_safe, nb_present)
+    NBW = nb_ids.shape[0]
+    dir_of = jnp.argmin(
+        jnp.where(good, jnp.arange(NBW, dtype=jnp.int32)[:, None], NBW), axis=0)
+    chosen = jnp.any(good, axis=0)
+    lidx = jnp.arange(LF)
+    Xs = Xs_nb[dir_of, lidx]
+    Xe = Xe_nb[dir_of, lidx]
+    refc = ref_idx[dir_of, lidx]
+    nbc = nb_safe[dir_of]
+
+    order = jnp.nonzero(chosen, size=MAX_NEW_LINES, fill_value=-1)[0]
     taking = order >= 0
-    n_good_l = jnp.sum(good).astype(jnp.int32)
+    n_good_l = jnp.sum(chosen).astype(jnp.int32)
     slot = n_ml + jnp.cumsum(taking.astype(jnp.int32)) - 1
     pool_drop = taking & (slot >= L)
     slot = jnp.where(taking & (slot < L), slot, L)
@@ -439,32 +482,30 @@ def create_new_lines(
     st = state._replace(
         ml_endpoints=state.ml_endpoints.at[slot].set(eps6[feat], mode="drop"),
         ml_valid=state.ml_valid.at[slot].set(True, mode="drop"),
-        ml_desc=state.ml_desc.at[slot].set(state.kf_ldesc[k_new][feat], mode="drop"),
+        ml_desc=state.ml_desc.at[slot].set(desc1[feat], mode="drop"),
         ml_first_kf=state.ml_first_kf.at[slot].set(k_new.astype(jnp.int32), mode="drop"),
         ml_last_kf=state.ml_last_kf.at[slot].set(k_new.astype(jnp.int32), mode="drop"),
         ml_visible=state.ml_visible.at[slot].set(1, mode="drop"),
         ml_found=state.ml_found.at[slot].set(1, mode="drop"),
         ml_desc_ring=state.ml_desc_ring.at[slot, 0].set(
-            state.kf_ldesc[k_new][feat], mode="drop"
+            desc1[feat], mode="drop"
         ),
         ml_ring_n=state.ml_ring_n.at[slot].set(1, mode="drop"),
     )
     new_ml_of_line = jnp.full((LF,), -1, jnp.int32).at[feat].set(
-        jnp.where(slot < L, slot, L).astype(jnp.int32), mode="drop"
+        jnp.where(slot < L, slot, -1).astype(jnp.int32), mode="drop"
     )
-    new_ml_of_line = jnp.where(new_ml_of_line >= L, -1, new_ml_of_line)
     ml_new = jnp.where(
         (state.kf_line_ml[k_new] < 0) & (new_ml_of_line >= 0),
         new_ml_of_line, state.kf_line_ml[k_new],
     )
-    ref_bind = jnp.full((LF,), -1, jnp.int32)
-    ref_line = jnp.where(new_ml_of_line >= 0, m.idx, LF)
-    ref_bind = ref_bind.at[ref_line].set(new_ml_of_line, mode="drop")
-    ml_ref = jnp.where(
-        (state.kf_line_ml[k_ref] < 0) & (ref_bind >= 0), ref_bind, state.kf_line_ml[k_ref]
-    )
+    st = st._replace(kf_line_ml=st.kf_line_ml.at[k_new].set(ml_new))
+    ok_new = taking & (slot < L)
+    rows = jnp.where(ok_new, nbc[feat], K_cap)
+    cols = jnp.where(ok_new, refc[feat], LF)
     st = st._replace(
-        kf_line_ml=st.kf_line_ml.at[k_new].set(ml_new).at[k_ref].set(ml_ref)
+        kf_line_ml=st.kf_line_ml.at[rows, cols].set(
+            slot.astype(jnp.int32), mode="drop")
     )
     return NewLinesResult(state=st, n_new=n_new, n_clipped=n_clipped)
 
@@ -705,26 +746,33 @@ def fuse_projected_points(state: MapState, k_new: jnp.ndarray,
     fronto-parallel structure. Merge redirects are composed transitively
     before writeback (a->b->c chains resolve to c within this call, so
     chained-merge observations land on the surviving landmark instead of
-    being cleared)."""
+    being cleared).
+
+    All 2W directions' projection + Hamming + windowed matching run as
+    ONE vmapped batch against the pre-fuse snapshot (the reference also
+    collects its fuse candidate set before mutating, LocalMapping.cc:
+    1186-1214); only the cheap merge/add scatters apply sequentially."""
     K, F = state.kf_kp_mp.shape
     P = state.mp_valid.shape[0]
     W = nb_ids.shape[0]
     obs = point_obs_counts(state)
     sf = cfg.frontend.scale_factor
+    from structure_slam_pointline_tpu.utils import camera as cam_utils
 
-    def one_direction(carry, a, b, present):
-        kf_kp_mp, mp_valid, redirect = carry
-        ids = kf_kp_mp[a]                              # [F] candidates
-        safe0 = jnp.clip(ids, 0, P - 1)
-        ids_r = jnp.where(ids >= 0, redirect[safe0], -1)
-        ids_r = jnp.where(mp_valid[jnp.clip(ids_r, 0, P - 1)], ids_r, -1)
-        has = (ids_r >= 0) & present
-        safe = jnp.clip(ids_r, 0, P - 1)
+    nb_safe = jnp.clip(nb_ids, 0, K - 1)
+    nb_present = (nb_ids >= 0) & state.kf_valid[nb_safe] & (nb_safe != k_new)
+    k_new_b = jnp.broadcast_to(k_new, (W,))
+    a_ids = jnp.concatenate([k_new_b, nb_safe])       # [2W] source rows
+    b_ids = jnp.concatenate([nb_safe, k_new_b])       # [2W] target keyframes
+    dir_present = jnp.concatenate([nb_present, nb_present])
+
+    def direction_match(a, b, pres):
+        ids = state.kf_kp_mp[a]                        # [F] candidates
+        has = (ids >= 0) & pres
+        safe = jnp.clip(ids, 0, P - 1)
         X = state.mp_xyz[safe]
         T_b = state.kf_T_cw[b]
         pc = X @ T_b[:3, :3].T + T_b[:3, 3]
-        from structure_slam_pointline_tpu.utils import camera as cam_utils
-
         uv, z = cam_utils.project(intr, pc)
         dist = jnp.linalg.norm(pc, axis=-1)
         dmax = state.mp_dist_max[safe]
@@ -738,13 +786,25 @@ def fuse_projected_points(state: MapState, k_new: jnp.ndarray,
             kp_octave=state.kf_octave[b], pred_octave=pred_oct, octave_slack=1)
         D = hamming.hamming_matrix(state.mp_desc[safe], state.kf_desc[b])
         m = matching.masked_match(D, allow, max_dist=cfg.matching.th_low)
-        feat = jnp.clip(m.idx, 0, F - 1)
+        return ids, m.idx, m.valid
+
+    cand_ids, m_idx, m_valid = jax.vmap(direction_match)(
+        a_ids, b_ids, dir_present)
+
+    def body(i, carry):
+        kf_kp_mp, mp_valid, redirect = carry
+        b = b_ids[i]
+        ids = cand_ids[i]
+        ids_r = jnp.where(ids >= 0, redirect[jnp.clip(ids, 0, P - 1)], -1)
+        ids_r = jnp.where(mp_valid[jnp.clip(ids_r, 0, P - 1)], ids_r, -1)
+        feat = jnp.clip(m_idx[i], 0, F - 1)
+        hit = m_valid[i] & (ids_r >= 0)
         row_b = kf_kp_mp[b]
         cur = row_b[feat]
         cur_r = jnp.where(cur >= 0, redirect[jnp.clip(cur, 0, P - 1)], -1)
         cand = ids_r
         # merge distinct landmarks observed at the same feature
-        mrg = m.valid & (cur_r >= 0) & (cand >= 0) & (cur_r != cand)
+        mrg = hit & (cur_r >= 0) & (cand >= 0) & (cur_r != cand)
         keep_cand = obs[jnp.clip(cand, 0, P - 1)] >= obs[jnp.clip(cur_r, 0, P - 1)]
         src = jnp.where(keep_cand, cur_r, cand)
         dst = jnp.where(keep_cand, cand, cur_r)
@@ -755,24 +815,16 @@ def fuse_projected_points(state: MapState, k_new: jnp.ndarray,
         # bound elsewhere in this row)
         present_b = jnp.zeros(P, bool).at[
             jnp.where(row_b >= 0, row_b, P)].set(True, mode="drop")
-        add = (m.valid & (cur_r < 0) & (cand >= 0)
+        add = (hit & (cur_r < 0) & (cand >= 0)
                & ~present_b[jnp.clip(cand, 0, P - 1)])
         new_row = row_b.at[jnp.where(add, feat, F)].set(
             jnp.where(add, cand, -1), mode="drop")
         kf_kp_mp = kf_kp_mp.at[b].set(new_row)
         return kf_kp_mp, mp_valid, redirect
 
-    def body(i, carry):
-        t_raw = nb_ids[i]
-        t = jnp.clip(t_raw, 0, K - 1)
-        present = (t_raw >= 0) & state.kf_valid[t] & (t != k_new)
-        carry = one_direction(carry, k_new, t, present)
-        carry = one_direction(carry, t, k_new, present)
-        return carry
-
     init = (state.kf_kp_mp, state.mp_valid,
             jnp.arange(P, dtype=jnp.int32))
-    kf_kp_mp, mp_valid, redirect = jax.lax.fori_loop(0, W, body, init)
+    kf_kp_mp, mp_valid, redirect = jax.lax.fori_loop(0, 2 * W, body, init)
     redirect = _compose_redirect(redirect)
     kf_kp_mp = jnp.where(
         kf_kp_mp >= 0, redirect[jnp.clip(kf_kp_mp, 0, P - 1)], kf_kp_mp)
@@ -801,14 +853,17 @@ def fuse_projected_lines(state: MapState, k_new: jnp.ndarray,
     W = nb_ids.shape[0]
     obs = line_obs_counts(state)
 
-    def one_direction(carry, a, b, present):
-        kf_line_ml, ml_valid, redirect = carry
-        ids = kf_line_ml[a]
-        safe0 = jnp.clip(ids, 0, L - 1)
-        ids_r = jnp.where(ids >= 0, redirect[safe0], -1)
-        ids_r = jnp.where(ml_valid[jnp.clip(ids_r, 0, L - 1)], ids_r, -1)
-        has = (ids_r >= 0) & present
-        safe = jnp.clip(ids_r, 0, L - 1)
+    nb_safe = jnp.clip(nb_ids, 0, K - 1)
+    nb_present = (nb_ids >= 0) & state.kf_valid[nb_safe] & (nb_safe != k_new)
+    k_new_b = jnp.broadcast_to(k_new, (W,))
+    a_ids = jnp.concatenate([k_new_b, nb_safe])
+    b_ids = jnp.concatenate([nb_safe, k_new_b])
+    dir_present = jnp.concatenate([nb_present, nb_present])
+
+    def direction_match(a, b, pres):
+        ids = state.kf_line_ml[a]
+        has = (ids >= 0) & pres
+        safe = jnp.clip(ids, 0, L - 1)
         ep = state.ml_endpoints[safe]
         T_b = state.kf_T_cw[b]
 
@@ -834,12 +889,24 @@ def fuse_projected_lines(state: MapState, k_new: jnp.ndarray,
         allow &= jnp.abs(dang) < 0.26                  # ~15 deg
         D = hamming.hamming_matrix(state.ml_desc[safe], state.kf_ldesc[b])
         m = matching.masked_match(D, allow, max_dist=cfg.matching.th_high)
-        feat = jnp.clip(m.idx, 0, LF - 1)
+        return ids, m.idx, m.valid
+
+    cand_ids, m_idx, m_valid = jax.vmap(direction_match)(
+        a_ids, b_ids, dir_present)
+
+    def body(i, carry):
+        kf_line_ml, ml_valid, redirect = carry
+        b = b_ids[i]
+        ids = cand_ids[i]
+        ids_r = jnp.where(ids >= 0, redirect[jnp.clip(ids, 0, L - 1)], -1)
+        ids_r = jnp.where(ml_valid[jnp.clip(ids_r, 0, L - 1)], ids_r, -1)
+        feat = jnp.clip(m_idx[i], 0, LF - 1)
+        hit = m_valid[i] & (ids_r >= 0)
         row_b = kf_line_ml[b]
         cur = row_b[feat]
         cur_r = jnp.where(cur >= 0, redirect[jnp.clip(cur, 0, L - 1)], -1)
         cand = ids_r
-        mrg = m.valid & (cur_r >= 0) & (cand >= 0) & (cur_r != cand)
+        mrg = hit & (cur_r >= 0) & (cand >= 0) & (cur_r != cand)
         keep_cand = obs[jnp.clip(cand, 0, L - 1)] >= obs[jnp.clip(cur_r, 0, L - 1)]
         src = jnp.where(keep_cand, cur_r, cand)
         dst = jnp.where(keep_cand, cand, cur_r)
@@ -848,23 +915,15 @@ def fuse_projected_lines(state: MapState, k_new: jnp.ndarray,
         ml_valid = ml_valid.at[jnp.where(mrg, src, L)].set(False, mode="drop")
         present_b = jnp.zeros(L, bool).at[
             jnp.where(row_b >= 0, row_b, L)].set(True, mode="drop")
-        add = (m.valid & (cur_r < 0) & (cand >= 0)
+        add = (hit & (cur_r < 0) & (cand >= 0)
                & ~present_b[jnp.clip(cand, 0, L - 1)])
         new_row = row_b.at[jnp.where(add, feat, LF)].set(
             jnp.where(add, cand, -1), mode="drop")
         kf_line_ml = kf_line_ml.at[b].set(new_row)
         return kf_line_ml, ml_valid, redirect
 
-    def body(i, carry):
-        t_raw = nb_ids[i]
-        t = jnp.clip(t_raw, 0, K - 1)
-        present = (t_raw >= 0) & state.kf_valid[t] & (t != k_new)
-        carry = one_direction(carry, k_new, t, present)
-        carry = one_direction(carry, t, k_new, present)
-        return carry
-
     init = (state.kf_line_ml, state.ml_valid, jnp.arange(L, dtype=jnp.int32))
-    kf_line_ml, ml_valid, redirect = jax.lax.fori_loop(0, W, body, init)
+    kf_line_ml, ml_valid, redirect = jax.lax.fori_loop(0, 2 * W, body, init)
     redirect = _compose_redirect(redirect)
     kf_line_ml = jnp.where(
         kf_line_ml >= 0, redirect[jnp.clip(kf_line_ml, 0, L - 1)], kf_line_ml)

@@ -169,69 +169,80 @@ def _keyframe_pipeline(
 ):
     """Insert KF + triangulate points/lines vs neighbors + local BA + cull.
     Mirrors LocalMapping::Run's per-keyframe sequence (LocalMapping.cc:52-176)."""
+    ab = frozenset(a for a in cfg.ablate.split(",") if a)
     k = n_kf
-    st = lm.insert_keyframe(
-        state, k, frame_id, tr.T_cw, frame, tr.feat_mp, tr.line_ml, cfg
-    )
-    # covisibility weights of the new keyframe drive neighbor selection
-    # everywhere below (triangulation partners, BA window, cull window) —
-    # the reference's UpdateConnections -> GetBestCovisibilityKeyFrames
-    # pattern (KeyFrame.cc:301-415, LocalMapping.cc:375-440)
-    covis_w = map_store.covisibility_weights(st, k)
+    with jax.named_scope("kf_insert"):
+        st = lm.insert_keyframe(
+            state, k, frame_id, tr.T_cw, frame, tr.feat_mp, tr.line_ml, cfg
+        )
+        # covisibility weights of the new keyframe drive neighbor selection
+        # everywhere below (triangulation partners, BA window, cull window) —
+        # the reference's UpdateConnections -> GetBestCovisibilityKeyFrames
+        # pattern (KeyFrame.cc:301-415, LocalMapping.cc:375-440)
+        covis_w = map_store.covisibility_weights(st, k)
     # triangulate against the NB_TRIANGULATE strongest covisible neighbors
-    # (the reference searches ~20 covisible KFs, LocalMapping.cc:371-440).
-    # Each pass re-reads the updated bindings, so features bound by an
-    # earlier neighbor are not re-triangulated; fori_loop keeps ONE
-    # compiled triangulation body regardless of neighbor count.
-    NB = NB_TRIANGULATE
-    top_w, top_n = jax.lax.top_k(covis_w, NB)
+    # (the reference searches ~20 covisible KFs, LocalMapping.cc:371-440)
+    # in ONE batched pass — points AND lines; each new-KF feature keeps
+    # its first (strongest-covisibility) accepting neighbor.
+    NB = 1 if "nb1" in ab else NB_TRIANGULATE
+    top_w, top_n = jax.lax.top_k(covis_w, NB_TRIANGULATE)
     nbs = jnp.where(top_w > 0, top_n,
-                    jnp.maximum(k - 1 - jnp.arange(NB), 0))
-    nb1 = nbs[0]
+                    jnp.maximum(k - 1 - jnp.arange(NB_TRIANGULATE), 0))
+    tri_nbs = jnp.where(jnp.arange(NB_TRIANGULATE) < NB, nbs, -1)
 
-    def _tri_body(i, c):
-        st, n_mp, n_drop = c
-        out = lm.create_new_points(st, k, nbs[i], n_mp, intr, cfg)
-        return out.state, n_mp + out.n_new, n_drop + out.n_clipped
-
-    st, n_mp, n_dropped = jax.lax.fori_loop(
-        0, NB, _tri_body, (st, n_mp, jnp.zeros((), jnp.int32)))
-    if cfg.use_lines:
-        outl = lm.create_new_lines(st, k, nb1, n_ml, intr, cfg)
-        st, n_ml = outl.state, n_ml + outl.n_new
-        n_dropped = n_dropped + outl.n_clipped
+    with jax.named_scope("triangulate"):
+        out = lm.create_new_points(st, k, tri_nbs, n_mp, intr, cfg)
+        st, n_mp = out.state, n_mp + out.n_new
+        n_dropped = out.n_clipped
+        if cfg.use_lines and "no_line_tri" not in ab:
+            outl = lm.create_new_lines(st, k, tri_nbs, n_ml, intr, cfg)
+            st, n_ml = outl.state, n_ml + outl.n_new
+            n_dropped = n_dropped + outl.n_clipped
     # projection-space fusion against the covisible neighbors (reference
     # SearchInNeighbors + ORBmatcher/LSDmatcher Fuse; replaces the old
     # 3D-radius landmark dedup, which over-merged repeating structure)
-    st = lm.fuse_projected_points(st, k, nbs, intr, cfg)
-    if cfg.use_lines:
-        st = lm.fuse_projected_lines(st, k, nbs, intr, cfg)
-    prob, ba_lines, local_kf, local_mp, local_ln, ba_drop = \
-        _gather_ba_problem_device(st, k + 1, cfg, k, covis_w)
-    n_dropped = n_dropped + ba_drop
-    if mesh is not None and mesh.devices.size > 1:
-        # multi-device: the SAME Schur engine, shard_mapped along the
-        # landmark axis (camera system psum-reduced over ICI) — the
-        # distributed BA the system actually uses, not a side path
-        from structure_slam_pointline_tpu.parallel import dist_ba
-        ba = dist_ba.shard_bundle_adjust(mesh, prob, intr, cfg.optim,
-                                         lines=ba_lines)
-    else:
-        ba = local_ba.bundle_adjust(prob, intr, cfg.optim, lines=ba_lines)
-    st = lm.apply_ba_result(st, local_kf, local_mp, ba, local_ln=local_ln)
+    if "no_fuse" not in ab:
+        with jax.named_scope("fuse"):
+            st = lm.fuse_projected_points(st, k, nbs, intr, cfg)
+            if cfg.use_lines:
+                st = lm.fuse_projected_lines(st, k, nbs, intr, cfg)
+    with jax.named_scope("gather_ba"):
+        prob, ba_lines, local_kf, local_mp, local_ln, ba_drop = \
+            _gather_ba_problem_device(st, k + 1, cfg, k, covis_w)
+        n_dropped = n_dropped + ba_drop
+    if "no_ba" not in ab:
+        with jax.named_scope("ba"):
+            if mesh is not None and mesh.devices.size > 1:
+                # multi-device: the SAME Schur engine, shard_mapped along
+                # the landmark axis (camera system psum-reduced over ICI)
+                # — the distributed BA the system actually uses, not a
+                # side path
+                from structure_slam_pointline_tpu.parallel import dist_ba
+                ba = dist_ba.shard_bundle_adjust(mesh, prob, intr, cfg.optim,
+                                                 lines=ba_lines)
+            else:
+                ba = local_ba.bundle_adjust(prob, intr, cfg.optim,
+                                            lines=ba_lines)
+            st = lm.apply_ba_result(st, local_kf, local_mp, ba,
+                                    local_ln=local_ln)
     # one obs-count scatter shared by point and keyframe culling; cull
     # candidates = the new KF's covisibility neighbors (reference
     # LocalMapping.cc:1388 culls only covisible keyframes)
-    obs = map_store.point_obs_counts(st)
-    st = lm.cull_points(st, k + 1, cfg, obs=obs)
-    if cfg.use_lines:
-        st = lm.cull_lines(st, k + 1, cfg)
-    cull_w, cull_i = jax.lax.top_k(covis_w, min(lm.KF_CULL_WINDOW, covis_w.shape[0]))
-    cand_ids = jnp.where(cull_w > 0, cull_i, -1)
-    st = lm.cull_keyframes(st, k + 1, cfg, obs=obs, cand_ids=cand_ids)
+    if "no_cull" not in ab:
+        with jax.named_scope("cull"):
+            obs = map_store.point_obs_counts(st)
+            st = lm.cull_points(st, k + 1, cfg, obs=obs)
+            if cfg.use_lines:
+                st = lm.cull_lines(st, k + 1, cfg)
+            cull_w, cull_i = jax.lax.top_k(
+                covis_w, min(lm.KF_CULL_WINDOW, covis_w.shape[0]))
+            cand_ids = jnp.where(cull_w > 0, cull_i, -1)
+            st = lm.cull_keyframes(st, k + 1, cfg, obs=obs, cand_ids=cand_ids)
     # refresh the observer bitmasks from the final edge grid (fuel for the
     # per-frame covisibility voting; once per KF event, exact)
-    st = st._replace(mp_obs_bits=map_store.compute_obs_bits(st))
+    if "no_obs_bits" not in ab:
+        with jax.named_scope("obs_bits"):
+            st = st._replace(mp_obs_bits=map_store.compute_obs_bits(st))
     # the tracked pose may have moved in BA
     T_new = st.kf_T_cw[k]
     return st, n_mp, n_ml, k + 1, T_new, n_dropped
@@ -320,6 +331,8 @@ def slam_step(
         ok & roomy & (n_inl >= cfg.keyframe.min_inliers) & (weak | stale)
         & jnp.asarray(allow_kf)
     )
+    if "no_kf" in cfg.ablate:
+        need_kf = jnp.zeros((), bool)  # attribution floor: tracking only
 
     def do_kf(op):
         state, frame, tr = op
