@@ -121,6 +121,13 @@ class OptimConfig:
 
     pose_rounds: int = 4             # 4 rounds x 10 iters pose-only LM
     pose_iters: int = 6
+    # pass-1 (motion-model) budget: its pose only seeds pass-2's 4 px
+    # projection windows, so it converges in far fewer iterations than
+    # the final pass-2 estimate needs; 2x4 vs 4x6 halves the per-frame
+    # LM edge passes (the reference runs full 4x10 in both passes,
+    # Optimizer.cc:700 — parity kept where it matters, pass 2)
+    pose_rounds_pass1: int = 2
+    pose_iters_pass1: int = 4
     chi2_mono: float = 5.991         # 2-DoF 95% gate for point edges
     chi2_line: float = 5.991         # per line-endpoint gate (Optimizer.cc:870-872 uses 2x5.991/line)
     huber_delta_point: float = 2.4477  # sqrt(5.991) (Optimizer.cc:700)

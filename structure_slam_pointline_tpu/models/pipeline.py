@@ -51,6 +51,9 @@ class SLAMCarry(NamedTuple):
     recover_hold: jnp.ndarray  # int32: frames left on the stricter
     # post-recovery inlier gate (reference holds 50 inliers for
     # mMaxFrames after relocalization, Tracking.cc:1371)
+    local_sets: tracking.LocalSets  # precomputed pass-1 local-map slot
+    # lists; the recency window only changes at keyframe events, so the
+    # nonzero(size=...) compactions run there, not every frame
 
 
 class FrameOut(NamedTuple):
@@ -243,9 +246,13 @@ def _keyframe_pipeline(
     if "no_obs_bits" not in ab:
         with jax.named_scope("obs_bits"):
             st = st._replace(mp_obs_bits=map_store.compute_obs_bits(st))
+    # refresh the carry-resident pass-1 local sets (the recency window
+    # only moves here: creation, culling and last-kf stamps all above)
+    with jax.named_scope("local_sets"):
+        sets = tracking.compute_local_sets(st, k + 1, cfg.map.local_window_kf)
     # the tracked pose may have moved in BA
     T_new = st.kf_T_cw[k]
-    return st, n_mp, n_ml, k + 1, T_new, n_dropped
+    return st, n_mp, n_ml, k + 1, T_new, n_dropped, sets
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(0,))
@@ -299,7 +306,8 @@ def slam_step(
         scale = jnp.where(attempt == 0, 1.0, 2.5)
         with jax.named_scope("track"):
             tr = tracking.track_step(carry.state, frame, T0, kf_lo, intr, cfg,
-                                     radius_scale=scale, n_kf=carry.n_kf)
+                                     radius_scale=scale, n_kf=carry.n_kf,
+                                     local_sets=carry.local_sets)
         return attempt + 1, tr
 
     _, tr = jax.lax.while_loop(
@@ -336,21 +344,23 @@ def slam_step(
 
     def do_kf(op):
         state, frame, tr = op
-        st, n_mp, n_ml, n_kf, T_new, n_drop = _keyframe_pipeline(
+        st, n_mp, n_ml, n_kf, T_new, n_drop, sets = _keyframe_pipeline(
             state, frame, tr, carry.n_kf, carry.n_mp, carry.n_ml, frame_id,
             intr, cfg, mesh=mesh,
         )
-        return st, n_mp, n_ml, n_kf, T_new, jnp.zeros((), jnp.int32), n_inl, n_drop
+        return (st, n_mp, n_ml, n_kf, T_new, jnp.zeros((), jnp.int32), n_inl,
+                n_drop, sets)
 
     def no_kf(op):
         state, frame, tr = op
         return (
             state, carry.n_mp, carry.n_ml, carry.n_kf, tr.T_cw,
             carry.frames_since_kf + 1, carry.inliers_at_kf,
-            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), carry.local_sets,
         )
 
-    state, n_mp, n_ml, n_kf, T_cw, frames_since, inl_at_kf, n_drop = jax.lax.cond(
+    (state, n_mp, n_ml, n_kf, T_cw, frames_since, inl_at_kf, n_drop,
+     local_sets) = jax.lax.cond(
         need_kf, do_kf, no_kf, (state, frame, tr)
     )
 
@@ -374,6 +384,7 @@ def slam_step(
         inliers_at_kf=inl_at_kf,
         ok=ok,
         recover_hold=recover_hold,
+        local_sets=local_sets,
     )
     return new_carry, FrameOut(T_cw=T_cw, ok=ok, n_inliers=n_inl,
                                is_kf=need_kf, n_dropped=n_drop)
@@ -425,7 +436,8 @@ def pack_frame_out(out: FrameOut) -> jnp.ndarray:
 
 
 def make_carry(state: MapState, T_last, velocity, n_kf: int, n_mp: int,
-               inliers_at_kf: int, n_ml: int = 0) -> SLAMCarry:
+               inliers_at_kf: int, n_ml: int = 0,
+               window_kf: int = 20) -> SLAMCarry:
     return SLAMCarry(
         state=state,
         T_last=jnp.asarray(T_last, jnp.float32),
@@ -437,7 +449,13 @@ def make_carry(state: MapState, T_last, velocity, n_kf: int, n_mp: int,
         inliers_at_kf=jnp.asarray(inliers_at_kf, jnp.int32),
         ok=jnp.asarray(True),
         recover_hold=jnp.asarray(0, jnp.int32),
+        local_sets=_compute_local_sets_jit(
+            state, jnp.asarray(n_kf, jnp.int32), window_kf),
     )
+
+
+_compute_local_sets_jit = jax.jit(
+    tracking.compute_local_sets, static_argnames=("window_kf",))
 
 
 __all__ = ["SLAMCarry", "FrameOut", "slam_step", "slam_scan", "make_carry",

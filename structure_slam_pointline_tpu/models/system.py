@@ -425,7 +425,7 @@ class SLAMSystem:
         self.inliers_at_kf = n_new
         self.carry = pipeline.make_carry(
             self.map, self.last_T, self.velocity, self.cur.n_kf, self.cur.n_mp,
-            n_new, n_ml=n_newl,
+            n_new, n_ml=n_newl, window_kf=self.cfg.map.local_window_kf,
         )
         return self.last_T
 
@@ -470,17 +470,27 @@ class SLAMSystem:
         return T_rel
 
     def _attempt_relocalization(self, img, frame_id) -> Optional[np.ndarray]:
-        """BoW + PnP recovery when tracking is lost (reference
-        Tracking::Relocalization, Tracking.cc:1961-2121). On success the
-        device pipeline restarts from the recovered pose with zero
-        velocity."""
+        """Recovery ladder when tracking is lost: (1) BoW-gated matching
+        against the reference keyframe + pose LM from the last pose
+        (reference TrackReferenceKeyFrame, Tracking.cc:1005-1095 — the
+        rung between motion-model failure and relocalization), then
+        (2) full BoW + PnP relocalization (Tracking::Relocalization,
+        Tracking.cc:1961-2121). On success the device pipeline restarts
+        from the recovered pose with zero velocity."""
         from structure_slam_pointline_tpu.models import relocalization
 
         frame = self.build_frame(img)
-        T = relocalization.relocalize(
+        T = relocalization.track_reference_keyframe(
             self.map, self.cur.n_kf, frame, self._get_loop_closer(),
-            self.intr, self.cfg, self.init_rng,
+            self.last_T, self.intr, self.cfg,
         )
+        if T is not None:
+            self.metrics.count("reloc_ref_kf")
+        else:
+            T = relocalization.relocalize(
+                self.map, self.cur.n_kf, frame, self._get_loop_closer(),
+                self.intr, self.cfg, self.init_rng,
+            )
         if T is None:
             return None
         self.carry = self.carry._replace(
@@ -545,6 +555,11 @@ class SLAMSystem:
                 state=new_state,
                 T_last=jnp.asarray(T_last_new),
                 velocity=jnp.eye(4, dtype=jnp.float32),
+                # _loop_fuse invalidated merged landmarks: refresh the
+                # carry-resident pass-1 sets so they drop out immediately
+                local_sets=pipeline._compute_local_sets_jit(
+                    new_state, jnp.asarray(self.cur.n_kf, jnp.int32),
+                    self.cfg.map.local_window_kf),
             )
             self.last_T = T_last_new
             break
@@ -650,6 +665,11 @@ class SLAMSystem:
                 n_kf=jnp.asarray(n_kf, jnp.int32),
                 n_mp=jnp.asarray(n_mp, jnp.int32),
                 n_ml=jnp.asarray(n_ml, jnp.int32),
+                # compaction renumbered landmark slots: the carry-resident
+                # pass-1 local sets hold stale ids until refreshed
+                local_sets=pipeline._compute_local_sets_jit(
+                    st, jnp.asarray(n_kf, jnp.int32),
+                    self.cfg.map.local_window_kf),
             )
             self.cur.n_kf, self.cur.n_mp, self.cur.n_ml = n_kf, n_mp, n_ml
 

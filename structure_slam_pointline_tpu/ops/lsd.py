@@ -122,9 +122,14 @@ _DIR_VECS = (
     (2, 0), (4, 1), (2, 1), (4, 3), (2, 2), (3, 4), (2, 4), (1, 4),
     (0, 2), (-1, 4), (-2, 4), (-3, 4), (-2, 2), (-4, 3), (-2, 1), (-4, 1),
 )
-_N_DOUBLINGS = 4  # support window = 2^4 steps each way (>= 32 px at |v| >= 2;
-                  # the support gate needs only 0.75*line_min_length = 18 px,
-                  # and ranking among longer lines saturates anyway)
+_N_DOUBLINGS = 3  # support window = 2^3 steps each way (>= 16 px per side,
+                  # 32 px total at |v| >= 2; the support gate needs only
+                  # 0.75*line_min_length = 18 px TOTAL, and ranking among
+                  # longer lines saturates anyway). 4 -> 3 cuts a quarter
+                  # of the dense pass's shifted adds — the detector's
+                  # whole-image cost (profiled 1.2 ms/frame, the single
+                  # largest line in the per-frame path) — and tightens
+                  # the lattice-drift window for off-axis lines.
 
 # per-direction constants for the scanned support pass (see detect_lines):
 # (vx, vy, rounded unit normal nx, ny) as int32; (theta, |v|) as float32
