@@ -55,26 +55,36 @@ def main():
     traces = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
     with gzip.open(traces[-1]) as f:
         data = json.load(f)
-    # keep only device-lane events (TensorFlow Op / XLA Ops lanes carry the
-    # hierarchical op names; host python lanes would double count)
-    tot = collections.Counter()
-    cnt = collections.Counter()
+    # Aggregate DEVICE events by their compiler metadata: `tf_op` carries
+    # the full jit/named_scope path and `source` the python file:line.
+    # (Post-fusion event NAMES are opaque `fusion.NNNN`; named scopes do
+    # not survive into them on XLA:TPU.)
     stage_tot = collections.Counter()
+    src_tot = collections.Counter()
+    total = 0.0
     for e in data.get("traceEvents", []):
-        if e.get("ph") == "X" and "dur" in e:
-            name = e.get("name", "?")
-            tot[name] += e["dur"]
-            cnt[name] += 1
-            for st in STAGES:
-                if f"/{st}/" in name or name.startswith(f"{st}/"):
-                    stage_tot[st] += e["dur"]
-                    break
+        if e.get("ph") != "X" or "args" not in e:
+            continue
+        a = e["args"]
+        if "device_duration_ps" not in a or "tf_op" not in a:
+            continue
+        ms = int(a["device_duration_ps"]) / 1e9
+        total += ms
+        op = a["tf_op"]
+        hit = "other:" + op.split("/")[-1].split(":")[0][:24]
+        for st in STAGES:
+            if f"/{st}/" in op:
+                hit = st
+                break
+        stage_tot[hit] += ms
+        src_tot[a.get("source", "?")] += ms
+    print(f"total device ms over {CHUNK} frames: {total:.1f}")
     print(f"per-stage device time ({CHUNK} frames):")
-    for st, us in stage_tot.most_common():
-        print(f"{us/1000:9.1f} ms  {us/CHUNK:8.0f} us/frame  {st}")
-    print(f"\ntop ops by total time ({CHUNK} frames):")
-    for name, us in tot.most_common(40):
-        print(f"{us/1000:9.1f} ms  x{cnt[name]:5d}  {name[:110]}")
+    for st, ms in stage_tot.most_common(25):
+        print(f"{ms:9.1f} ms  {ms/CHUNK*1000:8.0f} us/frame  {st}")
+    print(f"\ntop sources by device time ({CHUNK} frames):")
+    for name, ms in src_tot.most_common(40):
+        print(f"{ms:9.1f} ms  {name}")
 
 
 if __name__ == "__main__":
