@@ -204,33 +204,64 @@ class LoopCloser:
         # later essential-graph solve (Optimizer.cc:1683-1710)
         self.loop_edges: List[Tuple[int, int, np.ndarray]] = []
         self.n_corrections = 0
+        self._descs_at_train = 0  # descriptor-pool size when voc trained
+        self._descs_seen = 0      # indexed descriptors since (lifecycle)
 
     # ------------------------------------------------------------------ #
+    def _gather_descs(self, state: MapState, n_kf: int) -> np.ndarray:
+        valid, desc = jax.device_get((state.kf_kp_valid[:n_kf],
+                                      state.kf_desc[:n_kf]))
+        return desc[valid]
+
     def ensure_vocabulary(self, state: MapState, n_kf: int) -> bool:
         if self.voc is not None:
             return True
         if n_kf < 2:
             return False
-        descs = []
-        for k in range(n_kf):
-            valid = np.asarray(state.kf_kp_valid[k])
-            descs.append(np.asarray(state.kf_desc[k])[valid])
-        descs = np.concatenate(descs)
+        descs = self._gather_descs(state, n_kf)
         if len(descs) < 500:
             return False
         self.voc = bow.train_vocabulary(
             descs, self.cfg.bow.branching, self.cfg.bow.depth, seed=self.cfg.seed
         )
+        self._descs_at_train = len(descs)
+        self._descs_seen = 0  # re-accumulated by the indexing below
         K = state.kf_valid.shape[0]
         self.kf_bows = np.zeros((K, self.voc.n_words), np.float32)
         for k in range(n_kf):
             self._index_keyframe(state, k)
         return True
 
+    def maybe_retrain(self, state: MapState, n_kf: int) -> bool:
+        """Vocabulary LIFECYCLE: the tree is trained from the session's
+        first keyframes (unlike the reference's pretrained 10^6-leaf
+        vocabulary, System.cc:64-66, which generalizes to unseen scenes);
+        when the descriptor pool has doubled since training, the early
+        tree no longer spans the map's appearance. Retrain on the full
+        pool and re-index every keyframe — O(seconds), at doubling
+        cadence, so amortized cost is nil. Returns True when retrained."""
+        if self.voc is None or self._descs_seen < 2 * self._descs_at_train:
+            return False
+        descs = self._gather_descs(state, n_kf)
+        self.voc = bow.train_vocabulary(
+            descs, self.cfg.bow.branching, self.cfg.bow.depth, seed=self.cfg.seed
+        )
+        self._descs_at_train = max(len(descs), 1)
+        self._descs_seen = len(descs)
+        self._descs_seen = 0  # re-accumulated by the indexing below
+        self.kf_bows = np.zeros_like(self.kf_bows)
+        self.kf_words = {}
+        kf_ok = np.asarray(state.kf_valid[:n_kf])
+        for k in range(n_kf):
+            if kf_ok[k]:
+                self._index_keyframe(state, k)
+        return True
+
     def _index_keyframe(self, state: MapState, k: int) -> None:
         words, vec = bow.transform(self.voc, state.kf_desc[k], state.kf_kp_valid[k])
         self.kf_bows[k] = np.asarray(vec)
         self.kf_words[k] = np.asarray(words)
+        self._descs_seen += int(np.asarray(state.kf_kp_valid[k]).sum())
 
     def remap_keyframes(self, perm) -> None:
         """Follow a pool compaction (world/compact.compact_keyframes):

@@ -521,6 +521,12 @@ class SLAMSystem:
         self.sync_cursors()
         if k is None:
             k = self.cur.n_kf - 1
+        # vocabulary lifecycle: retrain + re-index when the descriptor
+        # pool has doubled since the tree was trained (the self-trained
+        # tree, unlike the reference's pretrained vocabulary, only spans
+        # the appearance it has seen)
+        if lc.voc is not None and lc.maybe_retrain(self.map, self.cur.n_kf):
+            self.metrics.count("vocab_retrained")
         lc.add_keyframe(self.map, k)
         for cand in lc.detect(self.map, self.cur.n_kf, k):
             self.metrics.count("loop_candidates")

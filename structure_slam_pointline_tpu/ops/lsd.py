@@ -337,15 +337,19 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
         sel = f_bin == b
         gang_ridge = jnp.where(sel & (shift_i == 1), gp, gang_ridge)
         gang_ridge = jnp.where(sel & (shift_i == -1), gm, gang_ridge)
-    # snap (bin, delta) AND ridge angle packed into ONE f32 plane so the
-    # refinement gathers TWO planes per sample, not three (flat gathers run
-    # on the scalar core at ~8 ns/element — the detector's dominant cost):
-    # meta = (bin*256 + round((delta+1.5)*85)) * 1024 + round(ang_q)
-    # with ang_q in [0, 1023] — max 1,072,151 < 2^24, exact in f32.
-    q_delta = jnp.round((delta_d + 1.5) * 85.0)
+    # snap (bin, delta), ridge angle AND ridge magnitude bit-packed into
+    # ONE uint32 plane so the refinement gathers a SINGLE plane per
+    # sample (flat gathers run on the scalar core at ~8 ns/element —
+    # the detector's dominant cost, profiled 1.2 ms/frame at two planes):
+    # [31:30] bin, [29:22] delta_q (0..255), [21:12] ang_q (0..1023),
+    # [11:0] mag_q (0..4095 at 1/40 px resolution, clips at 102 — Scharr
+    # magnitudes of 0..255 images stay below that).
+    q_delta = jnp.round((delta_d + 1.5) * 85.0).astype(jnp.uint32)
     q_ang = jnp.clip(jnp.round((gang_ridge + jnp.pi) / (2.0 * jnp.pi) * 1023.0),
-                     0.0, 1023.0)
-    meta_d = (f_bin.astype(jnp.float32) * 256.0 + q_delta) * 1024.0 + q_ang
+                     0.0, 1023.0).astype(jnp.uint32)
+    q_mag = jnp.clip(jnp.round(mag_ridge * 40.0), 0.0, 4095.0).astype(jnp.uint32)
+    packed_d = ((f_bin.astype(jnp.uint32) << 30) | (q_delta << 22)
+                | (q_ang << 12) | q_mag)
     # ---- sparse refinement for the K winners only: gathered dense snap
     # + weighted PCA refit + contiguity cumprod. Intermediate passes run
     # at 2x coarser sample spacing (same spatial reach, half the gather
@@ -368,11 +372,13 @@ def detect_lines(img: jnp.ndarray, cfg: FrontendConfig) -> Lines:
         dyi = jnp.sin(d_ang)
         px = cx_[:, None] + dxi[:, None] * ts[None, :]   # [K, 2S]
         py = cy_[:, None] + dyi[:, None] * ts[None, :]
-        s_mag, s_meta = _nearest([mag_ridge, meta_d], px, py)
-        hi = jnp.floor(s_meta * (1.0 / 1024.0))
-        s_ang = (s_meta - hi * 1024.0) * (2.0 * jnp.pi / 1023.0) - jnp.pi
-        s_bin = jnp.clip(jnp.floor(hi * (1.0 / 256.0)), 0.0, 3.0)
-        delta = (hi - s_bin * 256.0) * (1.0 / 85.0) - 1.5
+        (s_pack,) = _nearest([packed_d], px, py)
+        s_mag = (s_pack & jnp.uint32(4095)).astype(jnp.float32) * (1.0 / 40.0)
+        s_ang = (((s_pack >> 12) & jnp.uint32(1023)).astype(jnp.float32)
+                 * (2.0 * jnp.pi / 1023.0) - jnp.pi)
+        s_bin = ((s_pack >> 30) & jnp.uint32(3)).astype(jnp.float32)
+        delta = (((s_pack >> 22) & jnp.uint32(255)).astype(jnp.float32)
+                 * (1.0 / 85.0) - 1.5)
         # 4-way selects, not a table gather (gathers are what this avoids)
         r2 = 0.7071067811865476
         bdx = jnp.where(

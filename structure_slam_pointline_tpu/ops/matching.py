@@ -60,16 +60,20 @@ def masked_match(
         # so a column is claimed by exactly one row (the reference's
         # duplicate-erase keeps one match per feature too)
         # the lexicographic key of a VALID row must stay strictly below
-        # the _BIG sentinel or the column-min silently drops real matches
-        # (m is static at trace time, so this is a free compile-time guard)
-        assert (max_dist + 1) * m < _BIG, (
-            f"masked_match key overflow: ({max_dist}+1)*{m} >= {_BIG}; "
-            "widen _BIG or reduce max_dist/rows")
-        row_ids = jnp.arange(m, dtype=best.dtype)
-        # lexicographic (dist, row) key; valid rows have dist <= max_dist
-        # (<= 256), so key stays far from the _BIG sentinel
-        key = jnp.where(ok, best * m + row_ids, _BIG)
-        col_best = jnp.full((n,), _BIG, key.dtype).at[best_j].min(key)
+        # the sentinel or the column-min silently drops real matches. The
+        # key runs in float32 — exact for integers up to 2^24, far above
+        # the worst case 257 * m — with a 2^24 sentinel (m is static at
+        # trace time, so this is a free compile-time guard; a TRACED
+        # max_dist is bounded by the 256-bit Hamming range)
+        bound = max_dist if isinstance(max_dist, (int, float)) else hamming.DESC_BITS
+        _BIGF = float(1 << 24)
+        assert (bound + 1) * m < _BIGF, (
+            f"masked_match key overflow: ({bound}+1)*{m} >= 2^24; "
+            "reduce max_dist/rows")
+        row_ids = jnp.arange(m, dtype=jnp.float32)
+        # lexicographic (dist, row) key; valid rows have dist <= 256
+        key = jnp.where(ok, best.astype(jnp.float32) * m + row_ids, _BIGF)
+        col_best = jnp.full((n,), _BIGF, jnp.float32).at[best_j].min(key)
         ok &= col_best[best_j] == key
     return MatchResult(idx=best_j.astype(jnp.int32), dist=best.astype(jnp.int32), valid=ok)
 
