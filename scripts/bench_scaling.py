@@ -89,11 +89,16 @@ def main():
         run = make_dist_ba(mesh, intr, cfg, n_iters=8)
         t0 = time.time()
         out = jax.block_until_ready(run(prob))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        out = jax.block_until_ready(run(prob))  # warm: compiled steady cost
+        warm_s = time.time() - t0
         results[n] = {
             "cost": float(out.cost),
             "T": np.asarray(out.kf_T_cw),
             "xyz": np.asarray(out.mp_xyz),
-            "wall_s": round(time.time() - t0, 2),
+            "compile_s": round(compile_s, 2),
+            "ms_per_iter": round(warm_s / 8 * 1000.0, 2),
             "edges_per_device": KL * F // n,
         }
 
@@ -105,6 +110,8 @@ def main():
         report["mesh_sizes"][n] = {
             "edges_per_device": r["edges_per_device"],
             "cost": round(r["cost"], 3),
+            "ms_per_iter": r["ms_per_iter"],
+            "compile_s": r["compile_s"],
             "max_pose_diff_vs_1dev": float(np.abs(r["T"] - base["T"]).max()),
             "max_point_diff_vs_1dev": float(np.abs(r["xyz"] - base["xyz"]).max()),
         }

@@ -252,7 +252,19 @@ def _keyframe_pipeline(
         sets = tracking.compute_local_sets(st, k + 1, cfg.map.local_window_kf)
     # the tracked pose may have moved in BA
     T_new = st.kf_T_cw[k]
-    return st, n_mp, n_ml, k + 1, T_new, n_dropped, sets
+    # reference count for the next NeedNewKeyFrame 'weak' test (the
+    # reference compares against the ref KF's tracked-point count,
+    # Tracking.cc:1435-1453). Snapshotting the frame's raw inlier count
+    # dead-locked the trigger: a keyframe born near the 30-inlier health
+    # gate left 'weak' (< 0.9*30 = 27) unsatisfiable while 'ok' required
+    # >= 30, stalling insertion for max_frames while the view rotated
+    # away (tracking died in ~7 frames on the outward-looking loop
+    # scenario). Clamping the count so ratio*count clears the health gate
+    # keeps the trigger armed at low counts without changing the healthy
+    # high-count cadence.
+    floor = int((cfg.keyframe.min_inliers + 10) / cfg.keyframe.min_tracked_ratio)
+    n_ref = jnp.maximum(tr.n_inliers, floor).astype(jnp.int32)
+    return st, n_mp, n_ml, k + 1, T_new, n_dropped, sets, n_ref
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(0,))
@@ -344,11 +356,11 @@ def slam_step(
 
     def do_kf(op):
         state, frame, tr = op
-        st, n_mp, n_ml, n_kf, T_new, n_drop, sets = _keyframe_pipeline(
+        st, n_mp, n_ml, n_kf, T_new, n_drop, sets, n_ref = _keyframe_pipeline(
             state, frame, tr, carry.n_kf, carry.n_mp, carry.n_ml, frame_id,
             intr, cfg, mesh=mesh,
         )
-        return (st, n_mp, n_ml, n_kf, T_new, jnp.zeros((), jnp.int32), n_inl,
+        return (st, n_mp, n_ml, n_kf, T_new, jnp.zeros((), jnp.int32), n_ref,
                 n_drop, sets)
 
     def no_kf(op):
