@@ -229,7 +229,8 @@ def _project(cam: CameraConfig, p_cam: np.ndarray):
 
 def render(scene: Scene, T_wc: np.ndarray, cam: CameraConfig,
            bg: float = 110.0, noise: float = 2.0, seed: int = 0,
-           gain: float = 1.0) -> np.ndarray:
+           gain: float = 1.0, vignette: float = 0.0,
+           blur_px: float = 0.0) -> np.ndarray:
     """Render grayscale [H, W] float32 for camera-to-world pose T_wc.
 
     Patches are rendered by inverse warping: for each visible point, the
@@ -322,6 +323,17 @@ def render(scene: Scene, T_wc: np.ndarray, cam: CameraConfig,
                 wgt = np.exp(-0.5 * (du * du + dv * dv) / 0.8)
                 img[iv, iu] = np.minimum(img[iv, iu] * (1 - wgt) + 245.0 * wgt, 255.0)
 
+    if blur_px > 0:
+        # mild motion blur: horizontal box average over ~2*blur_px+1 px
+        r = max(int(round(blur_px)), 1)
+        acc = img.copy()
+        for dx_ in range(1, r + 1):
+            acc += np.roll(img, dx_, axis=1) + np.roll(img, -dx_, axis=1)
+        img = acc / (2 * r + 1)
+    if vignette > 0:
+        # radial lens falloff: corners darkened by `vignette` fraction
+        r2 = (((xx - cam.cx) / cam.cx) ** 2 + ((yy - cam.cy) / cam.cy) ** 2) / 2.0
+        img = img * (1.0 - vignette * r2.astype(np.float32))
     if gain != 1.0:
         # global illumination change (exposure/lighting drift across the
         # sequence): scale about black, like a real exposure change
@@ -332,13 +344,16 @@ def render(scene: Scene, T_wc: np.ndarray, cam: CameraConfig,
 
 
 def render_sequence(scene: Scene, poses_wc: np.ndarray, cam: CameraConfig,
-                    noise: float = 2.0, illum_amp: float = 0.0):
+                    noise: float = 2.0, illum_amp: float = 0.0,
+                    vignette: float = 0.0, blur_px: float = 0.0):
     """Render a whole trajectory; `illum_amp` adds a slow sinusoidal
-    exposure drift (gain in [1-amp, 1+amp]) across the sequence."""
+    exposure drift (gain in [1-amp, 1+amp]) across the sequence;
+    `vignette`/`blur_px` add per-frame lens falloff and motion blur."""
     n = len(poses_wc)
     return np.stack([
         render(scene, T, cam, noise=noise, seed=i,
-               gain=1.0 + illum_amp * np.sin(2 * np.pi * i / max(n, 1)))
+               gain=1.0 + illum_amp * np.sin(2 * np.pi * i / max(n, 1)),
+               vignette=vignette, blur_px=blur_px)
         for i, T in enumerate(poses_wc)
     ])
 

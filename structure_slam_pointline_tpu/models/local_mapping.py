@@ -777,16 +777,38 @@ def fuse_projected_points(state: MapState, k_new: jnp.ndarray,
         dist = jnp.linalg.norm(pc, axis=-1)
         dmax = state.mp_dist_max[safe]
         no_band = (dmax <= 0.0) | (dmax >= 1e8)
+        # full Fuse acceptance (reference ORBmatcher.cc:828-980): scale
+        # band, viewing angle < 60 deg, predicted octave — without these
+        # a dense repeating wall merges DISTINCT landmarks wherever
+        # projections collide (observed: tracking died in ~30 frames on
+        # a rotating dense scene; gating recovers no_fuse's survival)
+        band_ok = no_band | ((dist >= state.mp_dist_min[safe] * 0.8)
+                             & (dist <= dmax * 1.2))
+        cam_c = -T_b[:3, :3].T @ T_b[:3, 3]
+        ray = X - cam_c
+        ray = ray / jnp.maximum(jnp.linalg.norm(ray, axis=-1, keepdims=True), 1e-9)
+        nrm = state.mp_normal[safe]
+        has_nrm = jnp.linalg.norm(nrm, axis=-1) > 0.5
+        view_ok = jnp.where(has_nrm, jnp.sum(ray * nrm, axis=-1) > 0.5, True)
         pred_oct = matching.predict_octave(
             dist, jnp.where(no_band, dist, dmax), sf, cfg.frontend.n_levels)
         radius = 3.0 * jnp.power(sf, pred_oct.astype(jnp.float32))
-        vis = has & (z > 0.1) & cam_utils.in_image(cfg.camera, uv, margin=2.0)
+        vis = (has & (z > 0.1) & band_ok & view_ok
+               & cam_utils.in_image(cfg.camera, uv, margin=2.0))
         allow = matching.window_mask(
             uv, vis, state.kf_xy[b], state.kf_kp_valid[b], radius,
             kp_octave=state.kf_octave[b], pred_octave=pred_oct, octave_slack=1)
         D = hamming.hamming_matrix(state.mp_desc[safe], state.kf_desc[b])
         m = matching.masked_match(D, allow, max_dist=cfg.matching.th_low)
-        return ids, m.idx, m.valid
+        # chi2 gate on the matched reprojection residual at the feature's
+        # octave (ORBmatcher.cc:905: e2 <= 5.99 * sigma2), tighter than
+        # the square search window
+        kp_uv = state.kf_xy[b][jnp.clip(m.idx, 0, F - 1)]
+        kp_oct = state.kf_octave[b][jnp.clip(m.idx, 0, F - 1)]
+        e2 = jnp.sum((uv - kp_uv) ** 2, axis=-1)
+        sig2 = jnp.power(sf, 2.0 * kp_oct.astype(jnp.float32))
+        valid = m.valid & (e2 <= 5.991 * sig2)
+        return ids, m.idx, valid
 
     cand_ids, m_idx, m_valid = jax.vmap(direction_match)(
         a_ids, b_ids, dir_present)
