@@ -146,6 +146,14 @@ class MapConfig:
     max_keyframes: int = 256
     max_points: int = 32768
     max_lines: int = 2048
+    # tracking local-map capacities (static problem shapes): the per-frame
+    # matching matrices are [cap, F], so these are the tracking-cost
+    # knobs. The reference's local map is uncapped (all points of <= 80
+    # covisible KFs, Tracking.cc:1762); on exploratory trajectories whose
+    # covisible set exceeds the cap, raise it (matching cost scales
+    # linearly) — overflow evicts least-recently-seen landmarks.
+    local_points_cap: int = 2048
+    local_lines_cap: int = 256
     # NOTE: no per-landmark observation tables exist — observations live in
     # the [K, F] keyframe-major edge grid (world/map_store.py), so there is
     # no obs-capacity knob.

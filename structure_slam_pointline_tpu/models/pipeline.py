@@ -249,7 +249,9 @@ def _keyframe_pipeline(
     # refresh the carry-resident pass-1 local sets (the recency window
     # only moves here: creation, culling and last-kf stamps all above)
     with jax.named_scope("local_sets"):
-        sets = tracking.compute_local_sets(st, k + 1, cfg.map.local_window_kf)
+        sets = tracking.compute_local_sets(
+            st, k + 1, cfg.map.local_window_kf,
+            cfg.map.local_points_cap, cfg.map.local_lines_cap)
     # the tracked pose may have moved in BA
     T_new = st.kf_T_cw[k]
     # reference count for the next NeedNewKeyFrame 'weak' test (the
@@ -301,10 +303,10 @@ def slam_step(
         line_inlier=jnp.zeros((LF,), bool),
         n_inliers=jnp.asarray(-1, jnp.int32),
         n_matches=jnp.zeros((), jnp.int32),
-        local_pt_ids=jnp.full((tracking.LOCAL_POINTS,), -1, jnp.int32),
-        visible_pt=jnp.zeros((tracking.LOCAL_POINTS,), bool),
-        local_ln_ids=jnp.full((tracking.LOCAL_LINES,), -1, jnp.int32),
-        visible_ln=jnp.zeros((tracking.LOCAL_LINES,), bool),
+        local_pt_ids=jnp.full((cfg.map.local_points_cap,), -1, jnp.int32),
+        visible_pt=jnp.zeros((cfg.map.local_points_cap,), bool),
+        local_ln_ids=jnp.full((cfg.map.local_lines_cap,), -1, jnp.int32),
+        visible_ln=jnp.zeros((cfg.map.local_lines_cap,), bool),
     )
 
     def _track_cond(c):
@@ -449,7 +451,8 @@ def pack_frame_out(out: FrameOut) -> jnp.ndarray:
 
 def make_carry(state: MapState, T_last, velocity, n_kf: int, n_mp: int,
                inliers_at_kf: int, n_ml: int = 0,
-               window_kf: int = 20) -> SLAMCarry:
+               window_kf: int = 20, p_cap: int = tracking.LOCAL_POINTS,
+               l_cap: int = tracking.LOCAL_LINES) -> SLAMCarry:
     return SLAMCarry(
         state=state,
         T_last=jnp.asarray(T_last, jnp.float32),
@@ -462,12 +465,13 @@ def make_carry(state: MapState, T_last, velocity, n_kf: int, n_mp: int,
         ok=jnp.asarray(True),
         recover_hold=jnp.asarray(0, jnp.int32),
         local_sets=_compute_local_sets_jit(
-            state, jnp.asarray(n_kf, jnp.int32), window_kf),
+            state, jnp.asarray(n_kf, jnp.int32), window_kf, p_cap, l_cap),
     )
 
 
 _compute_local_sets_jit = jax.jit(
-    tracking.compute_local_sets, static_argnames=("window_kf",))
+    tracking.compute_local_sets,
+    static_argnames=("window_kf", "p_cap", "l_cap"))
 
 
 __all__ = ["SLAMCarry", "FrameOut", "slam_step", "slam_scan", "make_carry",

@@ -426,6 +426,8 @@ class SLAMSystem:
         self.carry = pipeline.make_carry(
             self.map, self.last_T, self.velocity, self.cur.n_kf, self.cur.n_mp,
             n_new, n_ml=n_newl, window_kf=self.cfg.map.local_window_kf,
+            p_cap=self.cfg.map.local_points_cap,
+            l_cap=self.cfg.map.local_lines_cap,
         )
         return self.last_T
 
@@ -565,7 +567,9 @@ class SLAMSystem:
                 # carry-resident pass-1 sets so they drop out immediately
                 local_sets=pipeline._compute_local_sets_jit(
                     new_state, jnp.asarray(self.cur.n_kf, jnp.int32),
-                    self.cfg.map.local_window_kf),
+                    self.cfg.map.local_window_kf,
+                    self.cfg.map.local_points_cap,
+                    self.cfg.map.local_lines_cap),
             )
             self.last_T = T_last_new
             break
@@ -675,7 +679,9 @@ class SLAMSystem:
                 # pass-1 local sets hold stale ids until refreshed
                 local_sets=pipeline._compute_local_sets_jit(
                     st, jnp.asarray(n_kf, jnp.int32),
-                    self.cfg.map.local_window_kf),
+                    self.cfg.map.local_window_kf,
+                    self.cfg.map.local_points_cap,
+                    self.cfg.map.local_lines_cap),
             )
             self.cur.n_kf, self.cur.n_mp, self.cur.n_ml = n_kf, n_mp, n_ml
 

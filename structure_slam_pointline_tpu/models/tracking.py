@@ -71,20 +71,37 @@ def _scale_sigma2(octave: jnp.ndarray, scale_factor: float) -> jnp.ndarray:
     return jnp.power(scale_factor, 2.0 * octave.astype(jnp.float32))
 
 
-def _local_points(state: MapState, kf_lo: jnp.ndarray):
+def _recency_top(valid: jnp.ndarray, last_kf: jnp.ndarray, kf_lo, size: int):
+    """Ids of up to `size` valid landmarks with last_kf >= kf_lo, MOST
+    RECENT first. A plain nonzero(size=) compaction kept the lowest-SLOT
+    (oldest) entries whenever the window overflowed the fixed capacity —
+    on growing maps the newest landmarks (the only ones still in view on
+    exploratory trajectories) silently fell out of the local map and
+    tracking starved (observed: inlier peaks decaying with map size on a
+    rotating scene). Ranking by the last-seen keyframe keeps the fresh
+    map resident."""
+    N = valid.shape[0]
+    mask = valid & (last_kf >= kf_lo)
+    key = jnp.where(mask, last_kf.astype(jnp.float32) * N
+                    - jax.lax.iota(jnp.float32, N), -jnp.inf)
+    top_v, top_i = jax.lax.top_k(key, size)
+    return jnp.where(jnp.isfinite(top_v), top_i, -1).astype(jnp.int32)
+
+
+def _local_points(state: MapState, kf_lo: jnp.ndarray,
+                  size: int = LOCAL_POINTS):
     """Fixed-size recency-windowed local map (ids padded with -1)."""
     P = state.mp_valid.shape[0]
-    mask = state.mp_valid & (state.mp_last_kf >= kf_lo)
-    idx = jnp.nonzero(mask, size=LOCAL_POINTS, fill_value=-1)[0]
+    idx = _recency_top(state.mp_valid, state.mp_last_kf, kf_lo, size)
     ok = idx >= 0
     safe = jnp.clip(idx, 0, P - 1)
     return idx, ok, safe
 
 
-def _local_lines(state: MapState, kf_lo: jnp.ndarray):
+def _local_lines(state: MapState, kf_lo: jnp.ndarray,
+                 size: int = LOCAL_LINES):
     L = state.ml_valid.shape[0]
-    mask = state.ml_valid & (state.ml_last_kf >= kf_lo)
-    idx = jnp.nonzero(mask, size=LOCAL_LINES, fill_value=-1)[0]
+    idx = _recency_top(state.ml_valid, state.ml_last_kf, kf_lo, size)
     ok = idx >= 0
     safe = jnp.clip(idx, 0, L - 1)
     return idx, ok, safe
@@ -107,18 +124,20 @@ class LocalSets(NamedTuple):
 
 
 def compute_local_sets(state: MapState, n_kf: jnp.ndarray,
-                       window_kf: int) -> LocalSets:
+                       window_kf: int, p_cap: int = LOCAL_POINTS,
+                       l_cap: int = LOCAL_LINES) -> LocalSets:
     """Build the carry-resident pass-1 sets (call at KF events / rebases)."""
     kf_lo = jnp.maximum(n_kf - window_kf, 0)
     return LocalSets(
-        pt=_local_points(state, kf_lo)[0],
-        ln=_local_lines(state, kf_lo)[0],
-        wide_pt=_local_points(state, jnp.zeros((), jnp.int32))[0],
-        wide_ln=_local_lines(state, jnp.zeros((), jnp.int32))[0],
+        pt=_local_points(state, kf_lo, p_cap)[0],
+        ln=_local_lines(state, kf_lo, l_cap)[0],
+        wide_pt=_local_points(state, jnp.zeros((), jnp.int32), p_cap)[0],
+        wide_ln=_local_lines(state, jnp.zeros((), jnp.int32), l_cap)[0],
     )
 
 
-def _covis_local_sets(state: MapState, votes: jnp.ndarray, n_kf: jnp.ndarray):
+def _covis_local_sets(state: MapState, votes: jnp.ndarray, n_kf: jnp.ndarray,
+                      p_cap: int = LOCAL_POINTS, l_cap: int = LOCAL_LINES):
     """Covisibility-driven local map: top-N_LOCAL_KF voted keyframes ->
     the landmarks (points AND lines) they observe (reference
     Tracking::UpdateLocalKeyFrames + UpdateLocalPoints/Lines,
@@ -145,8 +164,9 @@ def _covis_local_sets(state: MapState, votes: jnp.ndarray, n_kf: jnp.ndarray):
         jnp.where(ml_rows >= 0, ml_rows, L).reshape(-1)
     ].set(True, mode="drop")
     lmask &= state.ml_valid
-    pidx = jnp.nonzero(pmask, size=LOCAL_POINTS, fill_value=-1)[0]
-    lidx = jnp.nonzero(lmask, size=LOCAL_LINES, fill_value=-1)[0]
+    neg = jnp.asarray(-(1 << 20), jnp.int32)  # no window: rank by recency only
+    pidx = _recency_top(pmask, state.mp_last_kf, neg, p_cap)
+    lidx = _recency_top(lmask, state.ml_last_kf, neg, l_cap)
     return (
         (pidx, pidx >= 0, jnp.clip(pidx, 0, P - 1)),
         (lidx, lidx >= 0, jnp.clip(lidx, 0, L - 1)),
@@ -290,10 +310,12 @@ def track_step(
         )
         return res, m, visible, lm, lvis
 
+    p_cap = cfg.map.local_points_cap
+    l_cap = cfg.map.local_lines_cap
     # pass 1: wide search with motion-model pose against the recency window
     if local_sets is None:
-        pts1 = _local_points(state, kf_lo)
-        lns1 = _local_lines(state, kf_lo)
+        pts1 = _local_points(state, kf_lo, p_cap)
+        lns1 = _local_lines(state, kf_lo, l_cap)
     else:
         # carry-resident sets: recency window when healthy, whole-map
         # wide sets when the caller passes kf_lo == 0 (LOST)
@@ -317,7 +339,7 @@ def track_step(
     votes = map_store.votes_from_bits(
         state.mp_obs_bits[pt_safe1], matched1, state.kf_valid)
     with jax.named_scope("covis_local_map"):
-        pts2, lns2 = _covis_local_sets(state, votes, n_kf)
+        pts2, lns2 = _covis_local_sets(state, votes, n_kf, p_cap, l_cap)
     with jax.named_scope("pass2"):
         res2, m2, vis2, lm2, lvis2 = one_round(res1.T_cw, 4.0, 15.0, pts2, lns2)
 
