@@ -175,7 +175,7 @@ def _covis_local_sets(state: MapState, votes: jnp.ndarray, n_kf: jnp.ndarray,
 
 def _match_points(
     state: MapState, frame: Frame, T_cw, ids_ok, safe_ids, intr, cfg: SLAMConfig,
-    radius_scale: float, check_rotation: bool = False,
+    radius_scale: float, check_rotation: bool = False, ratio: float = 1.0,
 ):
     """Project local points and match into the frame. Returns per-local-point
     (uv of matched feature, feature idx, match mask, visible mask)."""
@@ -210,8 +210,12 @@ def _match_points(
         uv, visible, frame.xy, frame.kp_valid, radius,
         kp_octave=frame.octave, pred_octave=pred_oct, octave_slack=1,
     )
+    # ratio test with the reference's same-level condition
+    # (ORBmatcher.cc:45); the motion-model pass runs with ratio=1.0 (the
+    # reference's frame-to-frame SearchByProjection has no ratio test,
+    # ORBmatcher.cc:1331)
     m = matching.masked_match(D, allow, max_dist=cfg.matching.th_high,
-                              ratio=cfg.matching.nn_ratio_tracking)
+                              ratio=ratio, col_octave=frame.octave)
     if check_rotation:
         # 30-bin rotation-consistency histogram between the landmark's
         # last observed keypoint angle and the matched feature's angle —
@@ -291,12 +295,13 @@ def track_step(
         pose_iters=cfg.optim.pose_iters_pass1)
 
     def one_round(T, radius_scale, line_radius, pts, lns,
-                  check_rotation=False, optim_cfg=None):
+                  check_rotation=False, optim_cfg=None, ratio=1.0):
         pt_ids, pt_ok, pt_safe = pts
         ln_ids, ln_ok, ln_safe = lns
         m, visible, _ = _match_points(state, frame, T, pt_ok, pt_safe, intr,
                                       cfg, radius_scale,
-                                      check_rotation=check_rotation)
+                                      check_rotation=check_rotation,
+                                      ratio=ratio)
         lm, lvis = _match_lines(state, frame, T, ln_ok, ln_safe, intr, cfg, line_radius)
         # build pose-opt problem over local slots
         obs_uv = frame.xy[m.idx]
@@ -328,7 +333,7 @@ def track_step(
         res1, m1, vis1, lm1, lvis1 = one_round(
             T_pred, cfg.matching.search_radius_motion * radius_scale,
             30.0 * radius_scale, pts1, lns1, check_rotation=True,
-            optim_cfg=optim_p1,
+            optim_cfg=optim_p1, ratio=cfg.matching.nn_ratio_tracking,
         )
     # pass 2: covisibility local map at the refined pose, tight radius.
     # Votes come from the per-landmark observer bitmasks (refreshed at
@@ -341,7 +346,9 @@ def track_step(
     with jax.named_scope("covis_local_map"):
         pts2, lns2 = _covis_local_sets(state, votes, n_kf, p_cap, l_cap)
     with jax.named_scope("pass2"):
-        res2, m2, vis2, lm2, lvis2 = one_round(res1.T_cw, 4.0, 15.0, pts2, lns2)
+        res2, m2, vis2, lm2, lvis2 = one_round(
+            res1.T_cw, 4.0, 15.0, pts2, lns2,
+            ratio=cfg.matching.nn_ratio_tracking)
 
     pt_ids2, ln_ids1, ln_ids2 = pts2[0], lns1[0], lns2[0]
 

@@ -38,12 +38,20 @@ def masked_match(
     max_dist: int,
     ratio: float = 1.0,
     unique_cols: bool = True,
+    col_octave: jnp.ndarray | None = None,
 ) -> MatchResult:
     """Row-wise best match under a candidate mask + ratio test.
 
     With `unique_cols`, a feature column claimed by several query rows is
     kept only by the row with the smallest distance (the reference's
     duplicate-erase logic, ORBmatcher.cc:1419-1439).
+
+    With `col_octave` ([N] pyramid levels), the ratio test applies ONLY
+    when best and second-best sit on the SAME level — the reference's
+    local-map SearchByProjection condition (ORBmatcher.cc:45:
+    `if(bestLevel==bestLevel2 && bestDist>mfNNratio*bestDist2)`); a
+    cross-level runner-up is scale ambiguity, not a genuine alternative,
+    and pruning on it starves repetitive-texture scenes.
     """
     m, n = dist.shape
     d = jnp.where(allow, dist, _BIG)
@@ -53,7 +61,13 @@ def masked_match(
     second = jnp.min(masked2, axis=1)
     ok = best <= max_dist
     if ratio < 1.0:
-        ok &= best.astype(jnp.float32) < ratio * jnp.minimum(second, _BIG).astype(jnp.float32)
+        passes = (best.astype(jnp.float32)
+                  < ratio * jnp.minimum(second, _BIG).astype(jnp.float32))
+        if col_octave is not None:
+            second_j = jnp.argmin(masked2, axis=1)
+            same_lvl = col_octave[best_j] == col_octave[second_j]
+            passes |= ~same_lvl
+        ok &= passes
     if unique_cols:
         # winner per column: row with min distance among rows selecting
         # it; exact-distance ties break STRICTLY by the lowest row index,
