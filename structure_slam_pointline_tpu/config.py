@@ -44,13 +44,12 @@ class FrontendConfig:
     ExtractLineSegment.cpp:42)."""
 
     n_keypoints: int = 1024          # run-time ORB budget (ref: 1000, padded to 2^k)
-    n_keypoints_init: int = 1024     # init-time ORB budget. The reference
-    # doubles it (2000, Tracking.cc:119-120); here it defaults EQUAL to the
-    # runtime budget so initialization reuses the one compiled frontend
-    # program — a second 2048-wide frontend variant costs hundreds of
-    # seconds of XLA:TPU compile on the harness host for a marginal gain
-    # in init matches (two-view init is reliable at 1024 on the target
-    # scenes). Set higher to trade compile time for init robustness.
+    n_keypoints_init: int = 2048     # init-time ORB budget, 2x the runtime
+    # budget like the reference (mpIniORBextractor = 2*nFeatures,
+    # Tracking.cc:119-120). The doubled-width frontend program compiles
+    # once at init (amortized by the compile-service cache across runs);
+    # the initial-map creation shrinks the two bootstrap frames back to
+    # the runtime pool width, triangulated features first.
     n_levels: int = 8                # pyramid levels (ORBextractor.cc ctor)
     scale_factor: float = 1.2
     fast_threshold: float = 20.0     # iniThFAST (Examples/ICL.yaml:49)
@@ -112,7 +111,10 @@ class InitConfig:
     min_matches: int = 100           # Tracking.cc:371
     rh_threshold: float = 0.40       # model select RH=SH/(SH+SF) (Initializer.cc:143)
     min_triangulated: int = 50
-    min_parallax_deg: float = 1.0
+    min_parallax_deg: float = 2.0    # a 1-deg gate admitted near-degenerate
+    # bootstraps on slow trajectories whose early-segment wobble dominated
+    # whole-run ATE (err_max 0.075 concentrated in the first 50 frames);
+    # 2 deg delays init a few frames and halves the tail
 
 
 @dataclasses.dataclass(frozen=True)

@@ -84,8 +84,12 @@ def _recency_top(valid: jnp.ndarray, last_kf: jnp.ndarray, kf_lo, size: int):
     mask = valid & (last_kf >= kf_lo)
     key = jnp.where(mask, last_kf.astype(jnp.float32) * N
                     - jax.lax.iota(jnp.float32, N), -jnp.inf)
-    top_v, top_i = jax.lax.top_k(key, size)
-    return jnp.where(jnp.isfinite(top_v), top_i, -1).astype(jnp.int32)
+    k = min(size, N)  # tiny test pools can undershoot the capacity
+    top_v, top_i = jax.lax.top_k(key, k)
+    idx = jnp.where(jnp.isfinite(top_v), top_i, -1).astype(jnp.int32)
+    if k < size:
+        idx = jnp.concatenate([idx, jnp.full((size - k,), -1, jnp.int32)])
+    return idx
 
 
 def _local_points(state: MapState, kf_lo: jnp.ndarray,

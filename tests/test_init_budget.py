@@ -1,0 +1,52 @@
+"""Doubled initialization feature budget (reference Tracking.cc:119-120:
+mpIniORBextractor runs at 2*nFeatures). On low-texture starts the extra
+budget decides how strong the initial map is — the early-segment
+accuracy driver."""
+
+import dataclasses
+
+import numpy as np
+
+from structure_slam_pointline_tpu.config import CameraConfig, SLAMConfig
+from structure_slam_pointline_tpu.io import synthetic
+from structure_slam_pointline_tpu.models.system import SLAMSystem
+
+CAM = CameraConfig(fy=480.0)
+
+
+def _init_map_size(imgs, cfg, max_frames=14):
+    slam = SLAMSystem(cfg)
+    i = 0
+    while slam.carry is None and i < max_frames:
+        slam.track(imgs[i], i)
+        i += 1
+    return (slam.cur.n_mp if slam.carry is not None else 0), i
+
+
+class TestInitBudget:
+    def test_doubled_budget_strengthens_low_texture_init(self):
+        # natural low-contrast textures: weak FAST corners, the hard-mode
+        # bootstrap input
+        scene = synthetic.make_room_scene(n_points=260, n_lines=12, seed=9,
+                                          natural_tex=True, contrast=0.3)
+        poses = synthetic.circular_trajectory(16, radius=0.5)
+        imgs = synthetic.render_sequence(scene, poses, CAM, noise=2.0)
+
+        cfg_full = SLAMConfig(camera=CAM)  # default: 2048 init budget
+        assert cfg_full.frontend.n_keypoints_init == 2 * cfg_full.frontend.n_keypoints
+        cfg_half = cfg_full.replace(frontend=dataclasses.replace(
+            cfg_full.frontend, n_keypoints_init=1024))
+
+        n_full, i_full = _init_map_size(imgs, cfg_full)
+        n_half, i_half = _init_map_size(imgs, cfg_half)
+        assert n_full > 0, "doubled-budget init failed on low-texture start"
+        # the doubled budget at least doubles the initial map on this
+        # scene (measured 66 vs 360 points at contrast 0.3)
+        assert n_full >= 2 * max(n_half, 1), (n_full, n_half)
+        # and the shrink-to-budget path kept the runtime pool width
+        slam = SLAMSystem(cfg_full)
+        i = 0
+        while slam.carry is None and i < 14:
+            slam.track(imgs[i], i)
+            i += 1
+        assert slam.map.kf_xy.shape[1] == cfg_full.frontend.n_keypoints
