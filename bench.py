@@ -40,7 +40,7 @@ def main():
 
     cam = CameraConfig(fy=480.0)
     cfg = SLAMConfig(camera=cam)
-    scene = synthetic.make_room_scene(n_points=350, n_lines=20, seed=0)
+    scene = synthetic.make_room_scene(n_points=350, n_lines=64, seed=0)
     # steady window = 5 chunks (500 frames): a single keyframe event swung
     # the old 200-frame window by several fps (round-3 verdict item 4)
     n_frames = 10 + 6 * CHUNK  # init can take up to ~10 frames of parallax
@@ -80,6 +80,48 @@ def main():
         est = np.stack([np.linalg.inv(traj[k]) for k in ids])
         ate = synthetic.ate_rmse(est, poses[ids])
     tracked = sum(1 for e in slam.log if e.T_cw is not None)
+    slam.sync_cursors()
+    n_kf_final, n_mp_final, n_ml_final = (slam.cur.n_kf, slam.cur.n_mp,
+                                          slam.cur.n_ml)
+
+    # ---- stage attribution (round-3 verdict item 1): ONE extra traced
+    # chunk re-using frames already consumed; device events carry tf_op
+    # scope + source metadata, aggregated to a per-stage us/frame table.
+    # Best-effort: any failure leaves stage_us_per_frame empty. ----
+    stage_us = {}
+    try:
+        import collections
+        import glob
+        import gzip
+        import tempfile
+
+        tdir = tempfile.mkdtemp(prefix="sspl_bench_trace")
+        jax.profiler.start_trace(tdir)
+        slam.track_sequence(imgs_dev[i - CHUNK : i], i - CHUNK)
+        jax.profiler.stop_trace()
+        traces = sorted(glob.glob(f"{tdir}/plugins/profile/*/*.trace.json.gz"))
+        with gzip.open(traces[-1]) as f:
+            tdata = json.load(f)
+        STAGES = ("frontend", "pass1", "pass2", "covis_local_map", "counters",
+                  "kf_insert", "triangulate", "fuse", "gather_ba", "ba",
+                  "cull", "obs_bits", "local_sets", "track")
+        agg = collections.Counter()
+        for e in tdata.get("traceEvents", []):
+            a = e.get("args")
+            if not a or e.get("ph") != "X" or "device_duration_ps" not in a \
+                    or "tf_op" not in a:
+                continue
+            us = int(a["device_duration_ps"]) / 1e6
+            hit = "other"
+            for stg in STAGES:
+                if f"/{stg}/" in a["tf_op"]:
+                    hit = stg
+                    break
+            agg[hit] += us
+        stage_us = {k: round(v / CHUNK, 1) for k, v in agg.most_common()}
+    except Exception:
+        pass
+
 
     print(json.dumps({
         "metric": "tracked_frames_per_second",
@@ -94,9 +136,9 @@ def main():
             "tracked_frames": tracked,
             "total_frames": n_frames,
             "ate_rmse_sim3": round(ate, 4),
-            "n_keyframes": slam.cur.n_kf,
-            "n_map_points": slam.cur.n_mp,
-            "n_map_lines": slam.cur.n_ml,
+            "n_keyframes": n_kf_final,
+            "n_map_points": n_mp_final,
+            "n_map_lines": n_ml_final,
             "device": str(jax.devices()[0]),
             # wall-clock breakdown: setup = scene render + imports;
             # init = two-view bootstrap incl. frontend compiles;
@@ -110,6 +152,9 @@ def main():
                 "total": round(time.time() - t_origin, 1),
             },
             "counters": dict(slam.metrics.counters),
+            # measured per-stage device time (us/frame) from one traced
+            # chunk after the steady window — where the time goes
+            "stage_us_per_frame": stage_us,
         },
     }), flush=True)
 
