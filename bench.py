@@ -83,6 +83,7 @@ def main():
     slam.sync_cursors()
     n_kf_final, n_mp_final, n_ml_final = (slam.cur.n_kf, slam.cur.n_mp,
                                           slam.cur.n_ml)
+    counters_final = dict(slam.metrics.counters)
 
     # ---- stage attribution (round-3 verdict item 1): ONE extra traced
     # chunk re-using frames already consumed; device events carry tf_op
@@ -151,7 +152,7 @@ def main():
                 "steady": round(dt, 1),
                 "total": round(time.time() - t_origin, 1),
             },
-            "counters": dict(slam.metrics.counters),
+            "counters": counters_final,
             # measured per-stage device time (us/frame) from one traced
             # chunk after the steady window — where the time goes
             "stage_us_per_frame": stage_us,
