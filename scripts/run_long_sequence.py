@@ -41,7 +41,7 @@ def main():
 
     slam = SLAMSystem(cfg)
     i = 0
-    while slam.carry is None and i < 10:
+    while slam.carry is None and i < 60:
         slam.track(imgs[i], i)
         i += 1
     CHUNK = SLAMSystem.SCAN_CHUNK
