@@ -32,10 +32,11 @@ class TestInitBudget:
         poses = synthetic.circular_trajectory(16, radius=0.5)
         imgs = synthetic.render_sequence(scene, poses, CAM, noise=2.0)
 
-        cfg_full = SLAMConfig(camera=CAM)  # default: 2048 init budget
-        assert cfg_full.frontend.n_keypoints_init == 2 * cfg_full.frontend.n_keypoints
-        cfg_half = cfg_full.replace(frontend=dataclasses.replace(
-            cfg_full.frontend, n_keypoints_init=1024))
+        base = SLAMConfig(camera=CAM)
+        cfg_full = base.replace(frontend=dataclasses.replace(
+            base.frontend, n_keypoints_init=2048))  # reference's 2x budget
+        cfg_half = base.replace(frontend=dataclasses.replace(
+            base.frontend, n_keypoints_init=1024))
 
         n_full, i_full = _init_map_size(imgs, cfg_full)
         n_half, i_half = _init_map_size(imgs, cfg_half)
