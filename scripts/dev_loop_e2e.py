@@ -18,13 +18,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run(enable_lc: bool, imgs, poses, cam, chunk: int):
+def run(enable_lc: bool, imgs, poses, cam, chunk: int, n_kp: int = 0):
+    import dataclasses
+
     import jax.numpy as jnp
 
     from structure_slam_pointline_tpu.config import SLAMConfig
     from structure_slam_pointline_tpu.models.system import SLAMSystem
 
+    import os
+
     cfg = SLAMConfig(camera=cam, enable_loop_closing=enable_lc)
+    if n_kp:
+        cfg = cfg.replace(frontend=dataclasses.replace(
+            cfg.frontend, n_keypoints=n_kp, n_keypoints_init=n_kp))
+    if os.environ.get("SSPL_NO_LINES"):
+        cfg = cfg.replace(use_lines=False)
+    if os.environ.get("SSPL_ABLATE"):
+        cfg = cfg.replace(ablate=os.environ["SSPL_ABLATE"])
     slam = SLAMSystem(cfg)
     slam.SCAN_CHUNK = chunk
     i = 0
@@ -33,8 +44,20 @@ def run(enable_lc: bool, imgs, poses, cam, chunk: int):
         i += 1
     assert slam.carry is not None, "init failed"
     t0 = time.time()
-    slam.track_sequence(imgs[i:], i)
+    Tt, okk, inl, kfk = slam.track_sequence(imgs[i:], i)
     dt = time.time() - t0
+    np.savez("/tmp/lap_trace.npz", ok=okk, inl=inl, kf=kfk, i0=i, T=Tt)
+    runs = []
+    j = 0
+    while j < len(okk):
+        k = j
+        while k < len(okk) and okk[k] == okk[j]:
+            k += 1
+        runs.append(("ok" if okk[j] else "LOST") + f"[{j+i}:{k+i}]")
+        j = k
+    print(" ".join(runs), flush=True)
+    print("inliers at 10-frame marks:",
+          [int(x) for x in inl[::10]], flush=True)
     traj = slam.trajectory()
     ids = sorted(traj.keys())
     est = np.stack([np.linalg.inv(traj[k]) for k in ids])
@@ -58,6 +81,7 @@ def main():
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 350
     laps = float(sys.argv[2]) if len(sys.argv) > 2 else 2.2
     which = sys.argv[3] if len(sys.argv) > 3 else "both"
+    n_kp = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     from structure_slam_pointline_tpu.config import CameraConfig
     from structure_slam_pointline_tpu.io import synthetic
 
@@ -68,9 +92,9 @@ def main():
     imgs = synthetic.render_sequence(scene, poses, cam, noise=2.0)
     print(f"rendered {n_frames} frames in {time.time()-t0:.0f}s", flush=True)
     if which in ("off", "both"):
-        run(False, imgs, poses, cam, chunk=25)
+        run(False, imgs, poses, cam, chunk=25, n_kp=n_kp)
     if which in ("on", "both"):
-        run(True, imgs, poses, cam, chunk=25)
+        run(True, imgs, poses, cam, chunk=25, n_kp=n_kp)
 
 
 if __name__ == "__main__":

@@ -36,25 +36,40 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # programs; caching compilations across processes cuts minutes of startup.
 import os as _os
 
-# The cache directory is keyed by the host's CPU feature set: XLA:CPU AOT
-# results encode machine features (e.g. avx512 variants), and the persistent
-# cache does NOT include them in its key — loading an executable compiled on
-# a different host warns "could lead to execution errors such as SIGILL" and
-# has been observed to hang at dispatch. TPU executables are unaffected but
-# live in the same per-host directory for simplicity.
+# The cache directory is keyed by the host's CPU identity: XLA:CPU AOT
+# results encode machine features (e.g. avx512/amx variants and XLA's own
+# tuning features like +prefer-no-scatter), and the persistent cache does
+# NOT include them in its key — loading an executable compiled on a
+# different host warns "could lead to execution errors such as SIGILL" and
+# has been observed to hang at dispatch. The tag hashes `lscpu` output
+# (cpuid-derived — catches hypervisor feature masking that /proc/cpuinfo
+# alone missed) plus the jaxlib version, under a schema version so stale
+# pre-guard directories are never reused. TPU executables are unaffected
+# but live in the same per-host directory for simplicity.
 def _host_tag() -> str:
     import hashlib
+    import subprocess
 
+    probes = []
+    try:
+        probes.append(subprocess.run(
+            ["lscpu"], capture_output=True, timeout=10).stdout)
+    except Exception:
+        pass
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+                if line.startswith(("flags", "model name")):
+                    probes.append(line.encode())
+                    break
     except OSError:
         pass
-    import platform
+    if not probes:
+        import platform
 
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+        probes.append(platform.processor().encode())
+    probes.append(_jax.__version__.encode())
+    return "v2-" + hashlib.sha1(b"\n".join(probes)).hexdigest()[:12]
 
 
 _cache_dir = _os.environ.get(
@@ -64,6 +79,9 @@ try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # never persist XLA-internal side caches (autotune/kernel files):
+    # they are even more host-specific than the AOT executables
+    _jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 except Exception:  # pragma: no cover - cache is best-effort
     pass
 

@@ -97,6 +97,8 @@ class MatchingConfig:
     th_low: int = 50
     histo_bins: int = 30             # rotation-consistency histogram
     nn_ratio_tracking: float = 0.9   # SearchByProjection ratio (Tracking.cc:1221)
+    nn_ratio_localmap: float = 0.8   # TrackLocalMap pass ratio: the reference
+    # constructs SearchLocalPoints' matcher with 0.8 (Tracking.cc:1729)
     nn_ratio_bow: float = 0.7        # TrackReferenceKeyFrame ratio (Tracking.cc:1016)
     nn_ratio_init: float = 0.9       # SearchForInitialization (Tracking.cc:364)
     search_radius_motion: float = 15.0   # window for motion-model search (th=7..15, ORBmatcher)
@@ -138,6 +140,16 @@ class OptimConfig:
     chi2_line: float = 5.991         # per line-endpoint gate (Optimizer.cc:870-872 uses 2x5.991/line)
     huber_delta_point: float = 2.4477  # sqrt(5.991) (Optimizer.cc:700)
     huber_delta_line: float = 2.7955   # sqrt(7.815) (Optimizer.cc:701)
+    line_pose_weight: float = 0.0    # information scale of line edges in
+    # the PER-FRAME pose optimization (1.0 = reference parity,
+    # Optimizer.cc:855-872 weights lines like points). Map-line endpoint
+    # geometry is rougher than point geometry (endpoints slide along the
+    # line in BA; the point-to-infinite-line residual barely penalizes a
+    # wrong parallel match), and at full weight line edges measurably
+    # BIAS the per-frame pose (wall-scene ATE 0.019 vs 0.012 with lines
+    # excluded from pose opt; map/BA line edges are not the problem —
+    # ablated independently). 0 disables pose-opt line edges entirely
+    # while keeping line observations, matching, and BA intact.
     local_ba_iters_first: int = 5
     local_ba_iters_second: int = 10
     lm_lambda_init: float = 1e-4
@@ -187,9 +199,22 @@ class BoWConfig:
 class KeyframeConfig:
     """Keyframe decision thresholds (Tracking.cc:1380-1479)."""
 
-    min_frames: int = 0
+    min_frames: int = 2              # reference uses 0 (Tracking.cc:136) but
+    # throttles insertion through the LocalMapping-idle bit (c1b,
+    # Tracking.cc:1445); our synchronous mapping has no busy state, so an
+    # unthrottled 'weak' trigger inserted a keyframe EVERY frame on
+    # rotating trajectories (137 KFs in 137 frames), churning the pools
+    # and degenerating the local-BA window. A 2-frame floor is the
+    # synchronous analog of the reference's mapping-latency throttle.
     max_frames: int = 30             # = fps
-    min_tracked_ratio: float = 0.9   # thRefRatio for mono
+    min_tracked_ratio: float = 0.8   # thRefRatio. The reference uses 0.9
+    # for mono (Tracking.cc:1450) against the ref KF's MATURED coverage
+    # (TrackedMapPoints(minObs=3)); ours compares against the RUNNING
+    # INLIER PEAK since the last keyframe, which includes the fresh
+    # post-triangulation spike and frame noise (~+10%) the reference
+    # count excludes — 0.8 x peak ~ 0.9 x mature coverage. At 0.9 the
+    # peak trigger fired on per-frame noise on easy scenes (keyframe
+    # every ~2.3 frames, 2.6x bench slowdown).
     min_inliers: int = 30
     min_inliers_track: int = 15      # below this the wide fallback re-track
                                      # fires (TrackReferenceKeyFrame's role,

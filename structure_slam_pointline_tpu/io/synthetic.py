@@ -366,6 +366,11 @@ def ate_rmse(est_Twc: np.ndarray, gt_Twc: np.ndarray, align: bool = True) -> flo
     """
     est = est_Twc[:, :3, 3]
     gt = gt_Twc[:, :3, 3]
+    finite = np.isfinite(est).all(1) & np.isfinite(gt).all(1)
+    if not finite.all():  # diverged poses: score only the finite rows
+        est, gt = est[finite], gt[finite]
+    if len(est) == 0:
+        return float("inf")
     if align and len(est) >= 3:
         mu_e, mu_g = est.mean(0), gt.mean(0)
         ec, gc = est - mu_e, gt - mu_g

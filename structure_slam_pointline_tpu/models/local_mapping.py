@@ -27,7 +27,11 @@ from structure_slam_pointline_tpu.world.map_store import (
     DESC_RING, MapState, point_obs_counts,
 )
 
-MAX_NEW_POINTS = 512   # new landmarks per keyframe insertion
+MAX_NEW_POINTS = 512   # new landmarks per keyframe insertion. This caps
+# the SINGLE batched pass across all NB_TRIANGULATE neighbors (the older
+# fori_loop allowed up to 512 PER neighbor); a deliberate tightening —
+# feature-rich keyframes overflow into the next insertion and the
+# overflow is visible via n_clipped / the landmarks_clipped counter.
 BA_WINDOW = 8          # free keyframes in local BA
 BA_FIXED = 8           # fixed frontier keyframes
 BA_LOCAL_KF = BA_WINDOW + BA_FIXED
@@ -412,7 +416,13 @@ def create_new_lines(
         free2 = state.kf_line_valid[k_ref] & (state.kf_line_ml[k_ref] < 0) & pres
         D = hamming.hamming_matrix(desc1, state.kf_ldesc[k_ref])
         allow = free1[:, None] & free2[None, :]
-        m = matching.masked_match(D, allow, max_dist=cfg.matching.th_low)
+        # th_high, not th_low: the flip-invariant LBD code runs hotter
+        # than point ORB (same-line cross-view distances center ~90 bits
+        # on ridge lines); distinctiveness comes from the MAD margin gate
+        # below and the two-plane geometry gates, mirroring how the
+        # reference leans on lineDescriptorMAD rather than an absolute
+        # radius (LSDmatcher.cpp:329-380)
+        m = matching.masked_match(D, allow, max_dist=cfg.matching.th_high)
         # frame-adaptive MAD margin gate (reference SearchByDescriptor
         # KF-KF, LSDmatcher.cpp:329-380 / lineDescriptorMAD, Frame.cc:190-216)
         valid = matching.mad_margin_gate(
@@ -969,8 +979,16 @@ def apply_ba_result(
     Optimizer.cc:1526-1592)."""
     K = state.kf_valid.shape[0]
     P = state.mp_valid.shape[0]
-    kf_ids = jnp.where(local_kf >= 0, local_kf, K)
-    mp_ids = jnp.where(local_mp >= 0, local_mp, P)
+    # non-finite guard: a degenerate local window (near-identical poses
+    # at keyframe-per-frame cadence, tiny-baseline triangulations) can
+    # blow up the Schur solve; writing NaN poses back would kill the map
+    # irreversibly (observed: instant 0-inlier death mid-sequence). Drop
+    # the update for any entity that came back non-finite — the next
+    # window re-optimizes it from the last good value.
+    kf_fin = jnp.all(jnp.isfinite(ba.kf_T_cw), axis=(1, 2))
+    mp_fin = jnp.all(jnp.isfinite(ba.mp_xyz), axis=1)
+    kf_ids = jnp.where((local_kf >= 0) & kf_fin, local_kf, K)
+    mp_ids = jnp.where((local_mp >= 0) & mp_fin, local_mp, P)
     st = state._replace(
         kf_T_cw=state.kf_T_cw.at[kf_ids].set(ba.kf_T_cw, mode="drop"),
         mp_xyz=state.mp_xyz.at[mp_ids].set(ba.mp_xyz, mode="drop"),
@@ -985,7 +1003,9 @@ def apply_ba_result(
     st = st._replace(kf_kp_mp=st.kf_kp_mp.at[kf_ids].set(new_rows, mode="drop"))
     if local_ln is not None and ba.ln_start is not None:
         L = state.ml_valid.shape[0]
-        ln_ids = jnp.where(local_ln >= 0, local_ln, L)
+        ln_fin = (jnp.all(jnp.isfinite(ba.ln_start), axis=1)
+                  & jnp.all(jnp.isfinite(ba.ln_end), axis=1))
+        ln_ids = jnp.where((local_ln >= 0) & ln_fin, local_ln, L)
         eps = jnp.concatenate([ba.ln_start, ba.ln_end], axis=1)  # [LL, 6]
         st = st._replace(
             ml_endpoints=st.ml_endpoints.at[ln_ids].set(eps, mode="drop"))

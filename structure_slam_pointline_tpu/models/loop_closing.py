@@ -247,7 +247,6 @@ class LoopCloser:
             descs, self.cfg.bow.branching, self.cfg.bow.depth, seed=self.cfg.seed
         )
         self._descs_at_train = max(len(descs), 1)
-        self._descs_seen = len(descs)
         self._descs_seen = 0  # re-accumulated by the indexing below
         self.kf_bows = np.zeros_like(self.kf_bows)
         self.kf_words = {}
@@ -290,7 +289,11 @@ class LoopCloser:
         ]
 
     def add_keyframe(self, state: MapState, k: int) -> None:
-        if self.voc is not None:
+        if self.voc is not None and k not in self.kf_words:
+            # `k not in kf_words` guards double-indexing (and double-
+            # counting in _descs_seen) when maybe_retrain's re-index loop
+            # already covered this keyframe (system.py retrains before
+            # add_keyframe and the cursors already include it)
             self._index_keyframe(state, k)
 
     # ------------------------------------------------------------------ #

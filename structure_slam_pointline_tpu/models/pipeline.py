@@ -254,16 +254,14 @@ def _keyframe_pipeline(
             cfg.map.local_points_cap, cfg.map.local_lines_cap)
     # the tracked pose may have moved in BA
     T_new = st.kf_T_cw[k]
-    # reference count for the next NeedNewKeyFrame 'weak' test (the
-    # reference compares against the ref KF's tracked-point count,
-    # Tracking.cc:1435-1453). Snapshotting the frame's raw inlier count
-    # dead-locked the trigger: a keyframe born near the 30-inlier health
-    # gate left 'weak' (< 0.9*30 = 27) unsatisfiable while 'ok' required
-    # >= 30, stalling insertion for max_frames while the view rotated
-    # away (tracking died in ~7 frames on the outward-looking loop
-    # scenario). Clamping the count so ratio*count clears the health gate
-    # keeps the trigger armed at low counts without changing the healthy
-    # high-count cadence.
+    # RESET value for the running inlier peak driving the next
+    # NeedNewKeyFrame 'weak' test (see slam_step): start the new period
+    # at this frame's inlier count — the post-triangulation spike lands
+    # on the NEXT frame and raises the peak there — clamped to a floor
+    # so ratio*peak clears the 30-inlier health gate (a keyframe born
+    # near the gate otherwise left 'weak' unsatisfiable while 'ok'
+    # required >= 30, deadlocking the trigger; tracking died in ~7
+    # frames on the outward-looking loop scenario).
     floor = int((cfg.keyframe.min_inliers + 10) / cfg.keyframe.min_tracked_ratio)
     n_ref = jnp.maximum(tr.n_inliers, floor).astype(jnp.int32)
     return st, n_mp, n_ml, k + 1, T_new, n_dropped, sets, n_ref
@@ -344,8 +342,22 @@ def slam_step(
     recover_hold = jnp.maximum(carry.recover_hold - 1, 0)
 
     # keyframe decision (Tracking::NeedNewKeyFrame distilled:
-    # c1a = stale, c1b = weak + min_frames elapsed, Tracking.cc:1435-1453)
-    weak = n_inl < (cfg.keyframe.min_tracked_ratio * carry.inliers_at_kf.astype(jnp.float32)).astype(jnp.int32)
+    # c1a = stale, c1b = weak + min_frames elapsed, Tracking.cc:1435-1453).
+    # The reference count is the RUNNING PEAK of inliers since the last
+    # keyframe event (carried in inliers_at_kf): the reference compares
+    # against the ref KF's matured landmark coverage
+    # (TrackedMapPoints(minObs=3), Tracking.cc:1444), which our
+    # synchronous pipeline can't know at insertion time — a frozen
+    # insertion-time snapshot either starves the trigger on rotating
+    # scenes (the post-triangulation spike dwarfs it; 11-frame KF gaps,
+    # mid-lap death) or, set to inliers+created, over-fires on easy
+    # scenes where the steady match rate sits below 90% of coverage
+    # (measured: keyframe every 2.3 frames and 148->56 fps on the bench
+    # scene). The peak since the last KF *is* the observable coverage,
+    # and decay relative to it is exactly the reference's c2 semantics.
+    peak = carry.inliers_at_kf
+    weak = n_inl < (cfg.keyframe.min_tracked_ratio
+                    * peak.astype(jnp.float32)).astype(jnp.int32)
     weak &= carry.frames_since_kf + 1 >= cfg.keyframe.min_frames
     stale = carry.frames_since_kf + 1 >= cfg.keyframe.max_frames
     roomy = carry.n_kf < cfg.map.max_keyframes - 1
@@ -367,9 +379,12 @@ def slam_step(
 
     def no_kf(op):
         state, frame, tr = op
+        # ride the running peak up (post-KF triangulation spikes arrive
+        # on the FRAME AFTER the keyframe event)
         return (
             state, carry.n_mp, carry.n_ml, carry.n_kf, tr.T_cw,
-            carry.frames_since_kf + 1, carry.inliers_at_kf,
+            carry.frames_since_kf + 1,
+            jnp.maximum(carry.inliers_at_kf, tr.n_inliers),
             jnp.zeros((), jnp.int32), carry.local_sets,
         )
 

@@ -170,6 +170,14 @@ class SLAMSystem:
             inl_out[i : i + c] = inl
             kf_out[i : i + c] = iskf
             self.map = self.carry.state
+            import os as _os_dbg
+            if _os_dbg.environ.get("SSPL_DEBUG_CHUNKS"):
+                self.sync_cursors()
+                print(f"[chunk {first_frame_id + i}..{first_frame_id + i + c}] "
+                      f"ok_tail={okk[-1]} inl_tail={inl[-3:].tolist()} "
+                      f"kf={int(iskf.sum())} n_kf={self.cur.n_kf} "
+                      f"n_mp={self.cur.n_mp} n_ml={self.cur.n_ml} "
+                      f"T_finite={bool(np.isfinite(T).all())}", flush=True)
             if iskf.any():
                 self.sync_cursors()
                 self.maybe_compact()

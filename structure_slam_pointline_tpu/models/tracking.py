@@ -81,6 +81,13 @@ def _recency_top(valid: jnp.ndarray, last_kf: jnp.ndarray, kf_lo, size: int):
     rotating scene). Ranking by the last-seen keyframe keeps the fresh
     map resident."""
     N = valid.shape[0]
+    # float32 key is exact only while max_kf_id * N < 2^24 (~8.4M at the
+    # default 256 x 32768 pools); beyond that the slot tiebreak silently
+    # degrades to nondeterministic ordering among equal-recency landmarks
+    # (mirror of the masked_match key-overflow guard, ops/matching.py)
+    assert 256 * N <= (1 << 24), (
+        f"_recency_top key overflow: pool size {N} * 256 keyframes exceeds "
+        "float32 integer range; shrink the pool or widen the key")
     mask = valid & (last_kf >= kf_lo)
     key = jnp.where(mask, last_kf.astype(jnp.float32) * N
                     - jax.lax.iota(jnp.float32, N), -jnp.inf)
@@ -215,9 +222,9 @@ def _match_points(
         kp_octave=frame.octave, pred_octave=pred_oct, octave_slack=1,
     )
     # ratio test with the reference's same-level condition
-    # (ORBmatcher.cc:45); the motion-model pass runs with ratio=1.0 (the
-    # reference's frame-to-frame SearchByProjection has no ratio test,
-    # ORBmatcher.cc:1331)
+    # (ORBmatcher.cc:45). Both passes here match local MAP points (not
+    # frame-to-frame like the reference's ratio-less ORBmatcher.cc:1331
+    # search), so the same-level ratio test applies in both.
     m = matching.masked_match(D, allow, max_dist=cfg.matching.th_high,
                               ratio=ratio, col_octave=frame.octave)
     if check_rotation:
@@ -256,7 +263,23 @@ def _match_lines(
     D = hamming.hamming_matrix(state.ml_desc[safe_ids], frame.ldesc)
     fr_mid = 0.5 * (frame.line_ep[:, 0:2] + frame.line_ep[:, 2:4])
     allow = matching.window_mask(mid, vis, fr_mid, frame.line_valid, radius)
+    # orientation gate: projected map-line direction vs observed segment
+    # direction within ~15 deg (the wrong-but-parallel failure mode is
+    # handled by the MAD gate; wrong-and-oblique by this one). The
+    # point-to-infinite-line residual barely penalizes a wrong parallel
+    # neighbor, so bad line matches BIAS the pose instead of tripping
+    # the chi2 gate — both gates mirror the reference's LSDmatcher
+    # (lineDescriptorMAD everywhere, LSDmatcher.cpp:257-380).
+    seg = uv_e - uv_s
+    ang_m = jnp.arctan2(seg[:, 1], seg[:, 0])
+    fr_ang = jnp.arctan2(frame.line_ep[:, 3] - frame.line_ep[:, 1],
+                         frame.line_ep[:, 2] - frame.line_ep[:, 0])
+    dang = jnp.mod(ang_m[:, None] - fr_ang[None, :] + jnp.pi / 2,
+                   jnp.pi) - jnp.pi / 2
+    allow &= jnp.abs(dang) < 0.26
     m = matching.masked_match(D, allow, max_dist=cfg.matching.th_high, ratio=0.9)
+    m = m._replace(valid=matching.mad_margin_gate(
+        D, allow, m, scale=cfg.matching.line_mad_ratio))
     return m, vis
 
 
@@ -307,16 +330,44 @@ def track_step(
                                       check_rotation=check_rotation,
                                       ratio=ratio)
         lm, lvis = _match_lines(state, frame, T, ln_ok, ln_safe, intr, cfg, line_radius)
-        # build pose-opt problem over local slots
+        # build pose-opt problem over local slots. Line edges enter at
+        # cfg.optim.line_pose_weight of point information (see config.py
+        # for the measured rationale); 0 removes them from the pose
+        # solve without touching matching/observations.
         obs_uv = frame.xy[m.idx]
         sig2 = pt_sigma2[m.idx]
+        w_l = cfg.optim.line_pose_weight
+        l_valid = lm.valid if w_l > 0 else jnp.zeros_like(lm.valid)
+        l_sig2 = ln_sigma2[lm.idx] / max(w_l, 1e-9)
         res = pose_opt.pose_optimize(
             T,
             state.mp_xyz[pt_safe], obs_uv, m.valid, sig2,
             state.ml_endpoints[ln_safe][:, :3], state.ml_endpoints[ln_safe][:, 3:],
-            frame.line2d[lm.idx], lm.valid, ln_sigma2[lm.idx],
+            frame.line2d[lm.idx], l_valid, l_sig2,
             intr, optim_cfg or cfg.optim,
         )
+        # line OBSERVATION gate, decoupled from the pose-opt edge weight:
+        # with line_pose_weight = 0 pose_optimize reports no line inliers,
+        # but observation bindings (line_ml -> found counters, keyframe
+        # line rows, covisibility) must still happen for geometrically
+        # consistent matches — gate the matched lines by their endpoint
+        # point-to-line chi2 at the OPTIMIZED pose.
+        eps_m = state.ml_endpoints[ln_safe]
+        sw_c = eps_m[:, :3] @ res.T_cw[:3, :3].T + res.T_cw[:3, 3]
+        ew_c = eps_m[:, 3:] @ res.T_cw[:3, :3].T + res.T_cw[:3, 3]
+        uv_sw, _ = cam_utils.project(intr, sw_c)
+        uv_ew, _ = cam_utils.project(intr, ew_c)
+        l_obs = frame.line2d[lm.idx]
+        e_s = (l_obs[:, 0] * uv_sw[:, 0] + l_obs[:, 1] * uv_sw[:, 1]
+               + l_obs[:, 2])
+        e_e = (l_obs[:, 0] * uv_ew[:, 0] + l_obs[:, 1] * uv_ew[:, 1]
+               + l_obs[:, 2])
+        chi = (e_s * e_s + e_e * e_e) / jnp.maximum(ln_sigma2[lm.idx], 1e-9)
+        cfg_o = optim_cfg or cfg.optim
+        line_obs_ok = lm.valid & (chi < 2.0 * cfg_o.chi2_line)
+        if w_l > 0:
+            line_obs_ok &= res.line_inliers
+        res = res._replace(line_inliers=line_obs_ok)
         return res, m, visible, lm, lvis
 
     p_cap = cfg.map.local_points_cap
@@ -352,7 +403,7 @@ def track_step(
     with jax.named_scope("pass2"):
         res2, m2, vis2, lm2, lvis2 = one_round(
             res1.T_cw, 4.0, 15.0, pts2, lns2,
-            ratio=cfg.matching.nn_ratio_tracking)
+            ratio=cfg.matching.nn_ratio_localmap)
 
     pt_ids2, ln_ids1, ln_ids2 = pts2[0], lns1[0], lns2[0]
 

@@ -68,7 +68,8 @@ def extract_orb(img: jnp.ndarray, cfg: FrontendConfig, n_keypoints: int | None =
         k_lv = budgets[lv]
         if k_lv <= 0:
             continue
-        score = fast.nms3(fast.fast_score(levels[lv]))
+        raw = fast.fast_score(levels[lv])
+        score = fast.nms3(raw)
         xy, resp, valid = fast.select_keypoints(
             score,
             k=k_lv,
@@ -77,6 +78,8 @@ def extract_orb(img: jnp.ndarray, cfg: FrontendConfig, n_keypoints: int | None =
             threshold=cfg.fast_threshold,
             min_threshold=cfg.fast_min_threshold,
             border=orb.PATCH_RADIUS + 1,
+            raw=raw,
+            rank_priority=False,
         )
         ang, desc = orb.orient_and_describe(blurred[lv], xy)
         xy0 = xy * scales[lv]  # map to level-0 coords

@@ -88,7 +88,7 @@ def nms3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(s >= pooled, score, 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "cell", "cell_cap", "threshold", "min_threshold", "border"))
+@partial(jax.jit, static_argnames=("k", "cell", "cell_cap", "threshold", "min_threshold", "border", "rank_priority"))
 def select_keypoints(
     score: jnp.ndarray,
     k: int,
@@ -97,6 +97,8 @@ def select_keypoints(
     threshold: float = 20.0,
     min_threshold: float = 7.0,
     border: int = 16,
+    raw: jnp.ndarray | None = None,
+    rank_priority: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Spatially-uniform top-k: per-cell cap then global top-k.
 
@@ -106,6 +108,20 @@ def select_keypoints(
     corners fall back to >= `min_threshold` (the reference's two-threshold
     scheme, ORBextractor.cc:800-812). A per-cell cap of `cell_cap`
     replicates DistributeOctTree's spatial spreading.
+
+    With `rank_priority`, the global top-k ranks by WITHIN-CELL RANK
+    before score: every cell's best corner outranks every cell's
+    second-best, like DistributeOctTree keeping the best corner per
+    spatial node (ORBextractor.cc:539-760). Without it, budget-limited
+    levels select by global score rank, which flickers under small view
+    changes (measured: 25% of corners dropped at 2.6 deg view separation,
+    98% of them still present in the dense score map).
+
+    With `raw` (the pre-NMS score map), keypoints are refined to
+    SUB-PIXEL positions by a 3x3 parabolic fit around each NMS peak —
+    descriptor taps then sample the same physical point in every view
+    (integer quantization alone costs ~29/256 descriptor bits per px of
+    shift on checkered texture).
     """
     score = score.astype(jnp.float32)  # bf16 scores would quantize under the bonus
     h, w = score.shape
@@ -116,6 +132,15 @@ def select_keypoints(
     # boost strong corners so weak ones only fill leftover slots
     strong_bonus = jnp.where(s >= threshold, 1e4, 0.0)
     s_ranked = jnp.where(s > 0, s + strong_bonus, -jnp.inf)
+
+    if raw is not None:
+        r_ = raw.astype(jnp.float32)
+        xn, xp = jnp.roll(r_, -1, 1), jnp.roll(r_, 1, 1)
+        yn, yp = jnp.roll(r_, -1, 0), jnp.roll(r_, 1, 0)
+        offx_map = jnp.clip(
+            0.5 * (xn - xp) / jnp.maximum(2.0 * r_ - xn - xp, 1e-3), -0.5, 0.5)
+        offy_map = jnp.clip(
+            0.5 * (yn - yp) / jnp.maximum(2.0 * r_ - yn - yp, 1e-3), -0.5, 0.5)
 
     # pad to cell multiples
     ph = (cell - h % cell) % cell
@@ -138,13 +163,29 @@ def select_keypoints(
     flat_s = top_s.reshape(-1)
     flat_y = abs_y.reshape(-1)
     flat_x = abs_x.reshape(-1)
+    if rank_priority:
+        # key = (cap - within-cell rank) * 2e4 + bonused score: all cell
+        # champions outrank all runners-up (scores cap at 1e4 + 255)
+        rank = jax.lax.broadcasted_iota(jnp.float32, (ncy * ncx, cap), 1)
+        key = jnp.where(jnp.isfinite(top_s) & (top_s > 0),
+                        (cap - rank) * 2e4 + top_s, -jnp.inf).reshape(-1)
+    else:
+        key = flat_s
     kk = min(k, flat_s.shape[0])
-    sel_s, sel_i = jax.lax.top_k(flat_s, kk)
+    sel_k, sel_i = jax.lax.top_k(key, kk)
+    sel_s = flat_s[sel_i]
     sel_y = flat_y[sel_i]
     sel_x = flat_x[sel_i]
-    valid = jnp.isfinite(sel_s) & (sel_s > 0)
+    valid = jnp.isfinite(sel_k) & (sel_s > 0)
     resp = jnp.where(sel_s >= 1e4, sel_s - 1e4, sel_s)  # undo bonus
-    xy = jnp.stack([sel_x, sel_y], axis=-1).astype(jnp.float32)
+    sel_xf = sel_x.astype(jnp.float32)
+    sel_yf = sel_y.astype(jnp.float32)
+    if raw is not None:
+        sy = jnp.clip(sel_y, 0, h - 1)
+        sx = jnp.clip(sel_x, 0, w - 1)
+        sel_xf = sel_xf + offx_map[sy, sx]
+        sel_yf = sel_yf + offy_map[sy, sx]
+    xy = jnp.stack([sel_xf, sel_yf], axis=-1)
     if kk < k:  # pad up to k
         pad = k - kk
         xy = jnp.concatenate([xy, jnp.zeros((pad, 2), jnp.float32)])

@@ -9,17 +9,23 @@ band by the mean/std of those rows; the binary variant thresholds
 comparisons of corresponding statistics across band pairs.
 
 Here: S samples along the line x B band offsets across it are one
-bilinear gather per segment; band statistics are means/stds over the
-sample axis, extended with photometrically-normalized INTENSITY band
-stats (classic LBD is gradient-only; structural scenes are full of
-look-alike edges whose surrounding appearance is the discriminative
-signal). The segment orientation is CANONICALIZED by gradient polarity
-(mean perpendicular gradient >= 0) before describing — detector endpoint
-order is a PCA convention that flips arbitrarily for near-vertical
-lines, and a flipped band frame mirrors the descriptor. The binary code
-is 256 same-statistic cross-band comparisons (deterministic seeded
-subset), packed uint32[8] so line and point descriptors share the same
-MXU Hamming-matrix path (ops/hamming.py).
+gather per segment; band statistics are means/stds over the sample
+axis, extended with photometrically-normalized INTENSITY band stats
+(classic LBD is gradient-only; structural scenes are full of look-alike
+edges whose surrounding appearance is the discriminative signal).
+
+The binary code is FLIP-INVARIANT BY CONSTRUCTION: detector endpoint
+order is a PCA convention that flips arbitrarily between views, and the
+classic fix — canonicalizing by gradient polarity — is a coin flip on
+symmetric bright-ridge lines (measured: ~110/256 bit distance between
+the two views of the SAME wall line at 5 deg separation; ridge lines
+have mean perpendicular gradient ~ 0). Reversing the line frame maps
+band b -> B-1-b and swaps the +/- gradient channels, so the code is
+built from the symmetric part u = s + mirror(s) and the antisymmetric
+magnitude w = |s - mirror(s)| of each statistic — both invariant under
+the flip — compared across half-band pairs and channels. Packed
+uint32[8] so line and point descriptors share the MXU Hamming path
+(ops/hamming.py).
 """
 
 from __future__ import annotations
@@ -32,25 +38,32 @@ from structure_slam_pointline_tpu.ops.lsd import _nearest, gradients
 
 N_SAMPLES = 24     # samples along the segment
 N_BANDS = 9        # parallel bands across the segment
+HALF_BANDS = (N_BANDS + 1) // 2  # independent mirror-pair features
 BAND_SPACING = 2.0  # px between bands
-# blocks: gradient means [B*4], gradient stds [B*4], intensity mean+std [B*2]
-DESC_FLOATS = N_BANDS * 4 * 2 + N_BANDS * 2
+# invariant blocks: u/w x (grad mean [H*4], grad std [H*4], intensity [H*2])
+DESC_FLOATS = 2 * (HALF_BANDS * 4 * 2 + HALF_BANDS * 2)
 
 # flipping the line frame swaps the +/- gradient channels
 _SWAP = jnp.asarray([1, 0, 3, 2])
 
 
 def _pair_table(seed: int = 11) -> np.ndarray:
-    """[256, 2] indices into the descriptor: same-statistic cross-band
-    comparisons (4 mean + 4 std gradient stats and 2 intensity stats x
-    C(9,2) band pairs = 360 candidates, seeded subset of 256)."""
-    nb = N_BANDS
+    """[256, 2] indices into the invariant descriptor: same-channel
+    cross-band and same-band cross-channel comparisons within each u/w
+    block (seeded subset of the candidate pool)."""
+    H = HALF_BANDS
     cands = []
-    for part, width in ((0, 4), (nb * 4, 4), (nb * 8, 2)):
-        for c in range(width):
-            for i in range(nb):
-                for j in range(i + 1, nb):
-                    cands.append((part + i * width + c, part + j * width + c))
+    off = 0
+    for width in (4, 4, 2, 4, 4, 2):   # u_mean, u_std, u_int, w_mean, w_std, w_int
+        for c in range(width):          # cross-band, same channel
+            for i in range(H):
+                for j in range(i + 1, H):
+                    cands.append((off + i * width + c, off + j * width + c))
+        for b in range(H):              # cross-channel, same band
+            for c in range(width):
+                for c2 in range(c + 1, width):
+                    cands.append((off + b * width + c, off + b * width + c2))
+        off += H * width
     cands = np.asarray(cands, np.int32)
     g = np.random.default_rng(seed)
     sel = g.choice(len(cands), size=256, replace=False)
@@ -61,7 +74,7 @@ _PAIRS = jnp.asarray(_pair_table())
 
 
 def describe_lines(img: jnp.ndarray, endpoints: jnp.ndarray, valid: jnp.ndarray):
-    """[L, 4] segments -> (packed binary desc uint32 [L, 8], float desc [L, 90])."""
+    """[L, 4] segments -> (packed binary desc uint32 [L, 8], float desc [L, D])."""
     L = endpoints.shape[0]
     gx, gy, _ = gradients(img)
     imgf = img.astype(jnp.float32)
@@ -110,26 +123,39 @@ def describe_lines(img: jnp.ndarray, endpoints: jnp.ndarray, valid: jnp.ndarray)
     si_n = (si - mu) / sd
     i_mean = jnp.mean(si_n, axis=1)                       # [L, B]
     i_std = jnp.std(si_n, axis=1)                         # [L, B]
-    # canonical orientation: mean perpendicular gradient >= 0. A flip
-    # reverses the band order and swaps the +/- channels; means/stds are
-    # order-invariant along the sample axis, so no resampling is needed.
-    flip = jnp.mean(g_per, axis=(1, 2)) < 0.0             # [L]
-    mean = jnp.where(flip[:, None, None], mean[:, ::-1, :][:, :, _SWAP], mean)
-    std = jnp.where(flip[:, None, None], std[:, ::-1, :][:, :, _SWAP], std)
-    i_mean = jnp.where(flip[:, None], i_mean[:, ::-1], i_mean)
-    i_std = jnp.where(flip[:, None], i_std[:, ::-1], i_std)
+
+    # flip-invariant features: the frame flip maps band b -> B-1-b and
+    # swaps +/- gradient channels; u = s + mirror(s), w = |s - mirror(s)|
+    H = HALF_BANDS
+
+    def inv(v, swap_ch: bool):
+        m = v[:, ::-1]
+        if swap_ch:
+            m = m[..., _SWAP]
+        u = (v + m)[:, :H]
+        w = jnp.abs(v - m)[:, :H]
+        return u, w
+
+    u_mean, w_mean = inv(mean, True)
+    u_std, w_std = inv(std, True)
+    ui = jnp.stack([i_mean, i_std], axis=-1)              # [L, B, 2]
+    u_int, w_int = inv(ui, False)
+
     # normalize each block separately (classic LBD normalizes MD/SD apart)
     def _norm(v):
         return v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-9)
 
     desc = jnp.concatenate(
         [
-            _norm(mean.reshape(L, -1)),
-            _norm(std.reshape(L, -1)),
-            _norm(jnp.stack([i_mean, i_std], axis=-1).reshape(L, -1)),
+            _norm(u_mean.reshape(L, -1)),
+            _norm(u_std.reshape(L, -1)),
+            _norm(u_int.reshape(L, -1)),
+            _norm(w_mean.reshape(L, -1)),
+            _norm(w_std.reshape(L, -1)),
+            _norm(w_int.reshape(L, -1)),
         ],
         axis=-1,
-    )  # [L, 90]
+    )  # [L, DESC_FLOATS]
 
     # binarize: 256 structured pair comparisons -> packed uint32[8]
     a = desc[:, _PAIRS[:, 0]]

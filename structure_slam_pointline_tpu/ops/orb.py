@@ -22,6 +22,7 @@ orientation moment sums and the descriptor taps.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -31,12 +32,26 @@ import numpy as np
 PATCH_RADIUS = 15
 PATCH = 2 * PATCH_RADIUS + 1  # 31
 N_PAIRS = 256
-N_ROT = 32
+N_ROT = 64  # 5.6-deg banks: one-bank quantization error measured ~40/256
+# bits on checkered texture at 32 banks; 64 halves the tap displacement
 _MAX_OFF = 13  # pair offsets within this disc stay inside the patch after rotation
 
 
 def _make_pattern(seed: int = 7) -> np.ndarray:
-    """[N_PAIRS, 2, 2] int32 (pair, point, (dx, dy)) — BRIEF-style G(0, (patch/5)^2)."""
+    """[N_PAIRS, 2, 2] float32 (pair, point, (dx, dy)) test-pair table.
+
+    Prefers the LEARNED pattern (data/brief_pattern.npy, produced by
+    scripts/train_brief.py with the reference's training recipe — greedy
+    selection for bit variance and pairwise decorrelation over a steered
+    synthetic patch corpus, the method of ORBextractor.cc:150-408 / the
+    ORB paper §4.3 — no table copied). Falls back to the BRIEF-style
+    isotropic Gaussian (sigma = patch/5, fixed seed) when absent."""
+    learned = os.path.join(os.path.dirname(__file__), "..", "data",
+                           "brief_pattern.npy")
+    if os.path.exists(learned):
+        pat = np.load(learned).astype(np.float32)
+        if pat.shape == (N_PAIRS, 2, 2) and np.abs(pat).max() <= _MAX_OFF:
+            return pat
     g = np.random.default_rng(seed)
     sigma = PATCH / 5.0
     pts = []
@@ -93,32 +108,45 @@ _YGRID = jnp.asarray(_yy.astype(np.float32))
 
 
 def gather_patches(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Gather [K, 31, 31] patches centered at integer keypoints xy [K, 2].
+    """Gather [K, 31, 31] patches BILINEARLY centered at sub-pixel xy [K, 2].
 
     Keypoints are clamped so patches stay inside the image (callers already
     exclude a 16 px border at selection time).
 
-    Formulated as two one-hot contractions on the MXU — a row-selection
-    matmul then a batched column-selection matmul — because a vmapped
-    dynamic_slice lowers to a sequential while loop on TPU (profiled at
-    ~1.9 ms/frame; the matmuls are exact since each one-hot row has a
-    single 1.0).
+    Formulated as two interpolation-weight contractions on the MXU — a
+    row-selection matmul then a batched column-selection matmul — because
+    a vmapped dynamic_slice lowers to a sequential while loop on TPU
+    (profiled at ~1.9 ms/frame; exact since each weight row has two
+    entries summing to 1.0). Bilinear (vs nearest-integer) sampling keeps
+    descriptor taps on the same physical point across views: integer
+    re-centering alone costs ~29/256 bits per px of sub-pixel shift.
     """
     h, w = img.shape
     k = xy.shape[0]
     dt = img.dtype
-    x = jnp.clip(xy[:, 0].astype(jnp.int32), PATCH_RADIUS, w - PATCH_RADIUS - 1)
-    y = jnp.clip(xy[:, 1].astype(jnp.int32), PATCH_RADIUS, h - PATCH_RADIUS - 1)
+    x = jnp.clip(xy[:, 0].astype(jnp.float32), PATCH_RADIUS, w - PATCH_RADIUS - 2)
+    y = jnp.clip(xy[:, 1].astype(jnp.float32), PATCH_RADIUS, h - PATCH_RADIUS - 2)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(dt)
+    fy = (y - y0).astype(dt)
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
     offs = jnp.arange(-PATCH_RADIUS, PATCH_RADIUS + 1, dtype=jnp.int32)
-    # rows: [K*31, H] one-hot @ [H, W] image -> every needed patch row
-    ridx = (y[:, None] + offs[None, :]).reshape(-1)
-    oy = (ridx[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]).astype(dt)
+    # rows: [K*31, H] weights @ [H, W] image -> every needed patch row
+    ridx = (y0[:, None] + offs[None, :]).reshape(-1)
+    fyr = jnp.repeat(fy, PATCH)
+    rr = jnp.arange(h, dtype=jnp.int32)[None, :]
+    oy = ((ridx[:, None] == rr).astype(dt) * (1 - fyr)[:, None]
+          + ((ridx[:, None] + 1) == rr).astype(dt) * fyr[:, None])
     rows = jax.lax.dot_general(
         oy, img, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dt).reshape(k, PATCH, w)
     # columns: batched [K, 31(i), W] x [K, 31(j), W] -> [K, 31(i), 31(j)]
-    cidx = x[:, None] + offs[None, :]
-    ox = (cidx[:, :, None] == jnp.arange(w, dtype=jnp.int32)[None, None, :]).astype(dt)
+    cidx = x0[:, None] + offs[None, :]
+    cc = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    ox = ((cidx[:, :, None] == cc).astype(dt) * (1 - fx)[:, None, None]
+          + ((cidx[:, :, None] + 1) == cc).astype(dt) * fx[:, None, None])
     patches = jax.lax.dot_general(
         rows, ox, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )

@@ -284,11 +284,24 @@ def bundle_adjust(prob: BAProblem, intr: Intrinsics, cfg: OptimConfig,
         return Jc, Jx
 
     def _plane_inv3(Hpp, lam, freef):
-        """Damped adjugate inverse of symmetric 3x3 blocks held as planes."""
+        """Damped adjugate inverse of symmetric 3x3 blocks held as planes.
+
+        The diagonal floor is RELATIVE to the block's trace, not a fixed
+        1e-6: line-endpoint blocks are structurally rank-deficient (the
+        point-to-infinite-line residual never constrains the endpoint
+        along the line), and a tiny absolute floor made the inverse
+        ~1/1e-6 in the null direction — float-noise leakage into that
+        direction then exploded endpoint steps and, through the Schur
+        coupling, kicked free keyframe poses by ~0.5 world units
+        (observed as instant tracking death at a keyframe event on
+        line-rich scenes). A 1e-3-relative floor caps the null-direction
+        gain at ~1000x the constrained directions."""
         ds_ = 1.0 + lam
-        a_, b_, c_ = Hpp[0][0] * ds_ + 1e-6, Hpp[0][1], Hpp[0][2]
-        e_, f_ = Hpp[1][1] * ds_ + 1e-6, Hpp[1][2]
-        i_ = Hpp[2][2] * ds_ + 1e-6
+        tr = Hpp[0][0] + Hpp[1][1] + Hpp[2][2]
+        eps = 1e-3 * tr + 1e-6
+        a_, b_, c_ = Hpp[0][0] * ds_ + eps, Hpp[0][1], Hpp[0][2]
+        e_, f_ = Hpp[1][1] * ds_ + eps, Hpp[1][2]
+        i_ = Hpp[2][2] * ds_ + eps
         co00 = e_ * i_ - f_ * f_
         co01 = c_ * f_ - b_ * i_
         co02 = b_ * f_ - c_ * e_

@@ -82,7 +82,10 @@ class TestSystem:
         assert rows.shape[1] == 8 and len(rows) >= 10
         if kf_rows.ndim == 1:
             kf_rows = kf_rows[None]
-        assert kf_rows.shape[1] == 8 and len(kf_rows) == slam.cur.n_kf
+        # the writer skips CULLED keyframes (kf_valid False), so the row
+        # count is bounded by, not equal to, the allocation cursor
+        assert kf_rows.shape[1] == 8
+        assert 2 <= len(kf_rows) <= slam.cur.n_kf
         # quaternions normalized
         np.testing.assert_allclose(
             np.linalg.norm(rows[:, 4:], axis=1), 1.0, atol=1e-5
