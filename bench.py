@@ -83,6 +83,12 @@ def main():
     slam.sync_cursors()
     n_kf_final, n_mp_final, n_ml_final = (slam.cur.n_kf, slam.cur.n_mp,
                                           slam.cur.n_ml)
+    # LIVE landmark counts (cursors count creations; culled slots stay
+    # allocated until compaction) — line-subsystem health is judged on
+    # the live count, not the creation cursor
+    import jax as _jx
+    n_mp_live, n_ml_live = map(int, _jx.device_get(
+        (slam.map.mp_valid.sum(), slam.map.ml_valid.sum())))
     counters_final = dict(slam.metrics.counters)
 
     # ---- stage attribution (round-3 verdict item 1): ONE extra traced
@@ -103,23 +109,43 @@ def main():
         traces = sorted(glob.glob(f"{tdir}/plugins/profile/*/*.trace.json.gz"))
         with gzip.open(traces[-1]) as f:
             tdata = json.load(f)
-        STAGES = ("frontend", "pass1", "pass2", "covis_local_map", "counters",
+        STAGES = ("lsd", "lbd", "frontend", "pass1", "pass2", "covis_local_map", "counters",
                   "kf_insert", "triangulate", "fuse", "gather_ba", "ba",
                   "cull", "obs_bits", "local_sets", "track")
         agg = collections.Counter()
+        other_agg = collections.Counter()
         for e in tdata.get("traceEvents", []):
             a = e.get("args")
             if not a or e.get("ph") != "X" or "device_duration_ps" not in a \
                     or "tf_op" not in a:
                 continue
             us = int(a["device_duration_ps"]) / 1e6
+            # control-flow PARENT spans (cond/while/closed_call) cover
+            # their branch bodies inclusively, double-counting the leaf
+            # ops already attributed to stages — skip them (measured:
+            # the keyframe-pipeline cond span alone re-counted ~1.1
+            # ms/frame as "other")
+            leaf = a["tf_op"].rstrip(":").split("/")[-1]
+            if leaf.split(".")[0] in ("cond", "while", "closed_call",
+                                      "body", "branch"):
+                continue
             hit = "other"
             for stg in STAGES:
                 if f"/{stg}/" in a["tf_op"]:
                     hit = stg
                     break
             agg[hit] += us
+            if hit == "other":
+                # name the unattributed consumers so no bucket stays
+                # opaque (round-4 verdict item 5): group by the leading
+                # path segments of the op
+                parts = [p for p in a["tf_op"].split("/")
+                         if p not in ("jit(slam_scan)", "jit(slam_step)",
+                                      "while", "body", "transpose")]
+                other_agg["/".join(parts[:2])] += us
         stage_us = {k: round(v / CHUNK, 1) for k, v in agg.most_common()}
+        stage_us.update({f"other:{k}": round(v / CHUNK, 1)
+                         for k, v in other_agg.most_common(6)})
     except Exception:
         pass
 
@@ -140,6 +166,8 @@ def main():
             "n_keyframes": n_kf_final,
             "n_map_points": n_mp_final,
             "n_map_lines": n_ml_final,
+            "n_map_points_live": n_mp_live,
+            "n_map_lines_live": n_ml_live,
             "device": str(jax.devices()[0]),
             # wall-clock breakdown: setup = scene render + imports;
             # init = two-view bootstrap incl. frontend compiles;

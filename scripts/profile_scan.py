@@ -42,7 +42,7 @@ def main():
     imgs = synthetic.render_sequence(scene, poses, cam, noise=2.0)
     s = SLAMSystem(cfg)
     i = 0
-    while s.carry is None and i < 10:
+    while s.carry is None and i < 60:
         s.track(imgs[i], i)
         i += 1
     imgs_dev = jnp.asarray(imgs, jnp.float32)

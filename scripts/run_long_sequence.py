@@ -28,6 +28,10 @@ def main():
     t0 = time.time()
     cam = CameraConfig(fy=480.0)
     cfg = SLAMConfig(camera=cam)
+    if os.environ.get("SSPL_INIT_KP"):
+        import dataclasses
+        cfg = cfg.replace(frontend=dataclasses.replace(
+            cfg.frontend, n_keypoints_init=int(os.environ["SSPL_INIT_KP"])))
     scene = synthetic.make_room_scene(n_points=350, n_lines=20, seed=0)
     # several laps of a ~300-frame arc (the bench's scene/trajectory
     # parameters): bench-like inter-frame parallax, long-horizon

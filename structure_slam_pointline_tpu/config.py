@@ -44,16 +44,16 @@ class FrontendConfig:
     ExtractLineSegment.cpp:42)."""
 
     n_keypoints: int = 1024          # run-time ORB budget (ref: 1000, padded to 2^k)
-    n_keypoints_init: int = 1024     # init-time ORB budget. The reference
-    # doubles it (2000, Tracking.cc:119-120) and the doubled path is
-    # implemented + tested (set 2048; the initial-map creation shrinks
-    # the bootstrap frames back to the runtime width, triangulated
-    # features first) — it multiplies the initial map ~5x on LOW-TEXTURE
-    # starts (tests/test_init_budget.py). It is NOT the default: on
-    # fast-motion starts the doubled budget measurably WEAKENED init
-    # (13/200 frames tracked vs 200/200 at 1024 on the 302-frame-lap
-    # long-sequence scene) — root cause unresolved, prefer the robust
-    # default.
+    n_keypoints_init: int = 2048     # init-time ORB budget: the reference
+    # DOUBLES the runtime budget during initialization (2000,
+    # Tracking.cc:119-120); the initial-map creation shrinks the two
+    # bootstrap frames back to the runtime pool width, triangulated
+    # features first. Round 4 shipped 1024 because the doubled budget
+    # collapsed fast-motion bootstraps (13/200 frames tracked); that
+    # collapse was a frontend-repeatability artifact — with sub-pixel
+    # keypoints + 64 rotation banks the same scenario tracks 200/200 at
+    # ATE 0.0067 with the doubled budget (round 5), so the reference
+    # default ships.
     n_levels: int = 8                # pyramid levels (ORBextractor.cc ctor)
     scale_factor: float = 1.2
     fast_threshold: float = 20.0     # iniThFAST (Examples/ICL.yaml:49)

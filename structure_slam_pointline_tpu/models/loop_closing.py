@@ -298,22 +298,26 @@ class LoopCloser:
 
     # ------------------------------------------------------------------ #
     def detect(self, state: MapState, n_kf: int, k: int) -> List[LoopCandidate]:
-        """DetectLoop equivalent; returns consistency-filtered candidates."""
+        """DetectLoop equivalent; returns consistency-filtered candidates.
+
+        Host-side except ONE covisibility-matrix device call: the BoW
+        rows live in host numpy (256 x n_words L1 scores are ~1 ms), and
+        the old per-neighbor l1_score + per-candidate
+        covisibility_weights dispatches cost a tunnel round-trip each —
+        ~25 minutes of pure dispatch latency on a 145-keyframe lap."""
         if not self.ensure_vocabulary(state, n_kf):
             return []
         if k not in self.kf_words:
             self._index_keyframe(state, k)
-        covis = np.asarray(map_store.covisibility_weights(state, jnp.asarray(k)))
-        neighbors = np.nonzero(covis >= self.cfg.map.covis_threshold)[0]
+        C = np.asarray(map_store.covisibility_matrix(state))
+        kf_valid = np.asarray(state.kf_valid)
+        neighbors = np.nonzero(C[k] >= self.cfg.map.covis_threshold)[0]
+        # L1 similarity vs every keyframe, host-side (bow.l1_score math)
+        scores = 1.0 - 0.5 * np.abs(
+            self.kf_bows - self.kf_bows[k][None, :]).sum(1)
         # minimum BoW score vs covisible neighbors (LoopClosing.cc:125-139)
-        if len(neighbors):
-            min_score = min(
-                float(bow.l1_score(jnp.asarray(self.kf_bows[k]), jnp.asarray(self.kf_bows[j])))
-                for j in neighbors
-            )
-        else:
-            min_score = 0.0
-        exclude = np.zeros(state.kf_valid.shape[0], bool)
+        min_score = float(scores[neighbors].min()) if len(neighbors) else 0.0
+        exclude = np.zeros(kf_valid.shape[0], bool)
         exclude[neighbors] = True
         lo = max(k - self.min_gap, 0)
         # exclude the recent window AND everything newer than k: keyframes
@@ -321,15 +325,8 @@ class LoopCloser:
         # can already sit in the map when k is processed — online
         # semantics (reference LoopClosing runs per-KF) must not see them
         exclude[lo:] = True
-        scores = np.asarray(
-            bow.query_database(
-                jnp.asarray(self.kf_bows[k]),
-                jnp.asarray(self.kf_bows),
-                state.kf_valid,
-                min_score=min_score,
-                exclude=jnp.asarray(exclude),
-            )
-        )
+        scores = np.where(kf_valid & ~exclude & (scores >= min_score),
+                          scores, -1.0)
         best = scores.max()
         if best <= 0:
             self._consistent_groups = []
@@ -341,8 +338,8 @@ class LoopCloser:
         new_groups: List[Tuple[set, int]] = []
         consistent_enough: List[LoopCandidate] = []
         for c in cand_ids:
-            cg = np.asarray(map_store.covisibility_weights(state, jnp.asarray(int(c))))
-            group = set(np.nonzero(cg >= self.cfg.map.covis_threshold)[0].tolist()) | {int(c)}
+            group = set(np.nonzero(
+                C[int(c)] >= self.cfg.map.covis_threshold)[0].tolist()) | {int(c)}
             count = 0
             for prev_group, prev_count in self._consistent_groups:
                 if group & prev_group:

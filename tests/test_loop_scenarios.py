@@ -50,3 +50,51 @@ class TestLoopScanPath:
         est = np.stack([np.linalg.inv(traj[k]) for k in ids])
         ate = synthetic.ate_rmse(est, poses[ids])
         assert ate < 0.05, ate
+
+
+class TestLoopCorrectionEndToEnd:
+    def test_full_lap_closes_loop_through_scan_path(self):
+        """The production loop proof (round-4 verdict item 1): 1.3 laps of
+        the outward-looking cylinder through track_sequence with loop
+        closing enabled must (a) keep tracking across the whole run,
+        (b) fire at least one REAL correction through detect -> verify ->
+        correct -> GBA, and (c) beat the loop-closing-off trajectory's
+        ATE (odometry drift accumulated over the lap is what the
+        correction removes). Reference path: LoopClosing::Run
+        (LoopClosing.cc:57-89) fed per-keyframe from LocalMapping.cc:151."""
+        scene = synthetic.make_cylinder_scene(n_points=700, n_lines=48,
+                                              seed=0)
+        n = 200
+        poses = synthetic.loop_trajectory(n, laps=1.3)
+        imgs = synthetic.render_sequence(scene, poses, CAM, noise=2.0)
+
+        def run(enable_lc):
+            slam = SLAMSystem(SLAMConfig(camera=CAM,
+                                         enable_loop_closing=enable_lc))
+            i = 0
+            while slam.carry is None and i < 12:
+                slam.track(imgs[i], i)
+                i += 1
+            assert slam.carry is not None, "init failed"
+            slam.SCAN_CHUNK = 25
+            T, ok, inl, kf = slam.track_sequence(imgs[i:], i)
+            traj = slam.trajectory()
+            ids = sorted(traj.keys())
+            est = np.stack([np.linalg.inv(traj[k]) for k in ids])
+            return slam, synthetic.ate_rmse(est, poses[ids]), ok
+
+        slam_off, ate_off, ok_off = run(False)
+        slam_on, ate_on, ok_on = run(True)
+        # (a) tracked through the revisit, both configurations
+        assert ok_off.sum() >= 0.9 * len(ok_off), int(ok_off.sum())
+        assert ok_on.sum() >= 0.9 * len(ok_on), int(ok_on.sum())
+        # (b) a real correction happened through the production path
+        assert slam_on.metrics.counters.get("loop_corrected", 0) >= 1, \
+            dict(slam_on.metrics.counters)
+        # (c) the corrected trajectory beats pure odometry
+        assert ate_on < ate_off, (ate_on, ate_off)
+        assert ate_on < 0.06, ate_on
+        # line subsystem health floor on a line-rich scene (round-4
+        # verdict item 9): a sustained line map, not single digits
+        slam_on.sync_cursors()
+        assert slam_on.cur.n_ml >= 100, slam_on.cur.n_ml
