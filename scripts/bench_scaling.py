@@ -103,7 +103,7 @@ def main():
         }
 
     base = results[sizes[0]]
-    report = {"metric": "dist_ba_scaling", "problem": {"KL": KL, "F": F, "P": P}}
+    report = {"metric": "dist_ba_scaling", "label": "correctness + comm-volume PROXY: virtual CPU devices share 2 vCPUs, so ms_per_iter CANNOT show wall-clock scaling; the >=70% multi-host efficiency target remains an extrapolation from psum_bytes_per_iter vs ICI bandwidth until real-pod measurement", "problem": {"KL": KL, "F": F, "P": P}}
     report["mesh_sizes"] = {}
     for n in sizes:
         r = results[n]

@@ -47,3 +47,22 @@ class TestDistBA:
             assert np.isfinite(np.asarray(out.cost))
             r = reproj_rmse(out.kf_T_cw, out.mp_xyz, prob)
             assert r < 2.0
+
+
+def test_psum_volume_within_ici_budget():
+    """The multi-host feasibility argument (BASELINE.md) extrapolates
+    >= 70% scaling efficiency from the per-iteration psum volume vs ICI
+    bandwidth (~5 MB/iter over >= 100 GB/s ~= 50 us against a compute
+    term that shrinks 1/N). That argument silently dies if the reduced
+    blocks grow — pin the analytic volume here (same accounting as
+    scripts/bench_scaling.py: Hcc + bc + Hpp + bp + camera-landmark
+    coupling A) so a shape change that breaks the budget fails loudly."""
+    from structure_slam_pointline_tpu.models import local_mapping as lm
+
+    KL, P = lm.BA_LOCAL_KF, lm.BA_LOCAL_MP
+    psum_floats = KL * 36 + KL * 6 + P * 9 + P * 3 + P * KL * 18
+    psum_bytes = psum_floats * 4
+    assert psum_bytes <= 6 * 1024 * 1024, (
+        f"distributed-BA psum volume {psum_bytes / 1e6:.1f} MB/iter exceeds "
+        "the ICI-feasibility budget; re-derive BASELINE.md's efficiency "
+        "claim before raising this bound")
