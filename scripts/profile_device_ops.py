@@ -31,11 +31,13 @@ def main():
     cfg = SLAMConfig(camera=cam)
     scene = synthetic.make_room_scene(n_points=350, n_lines=20, seed=0)
     chunk = SLAMSystem.SCAN_CHUNK
-    poses = synthetic.circular_trajectory(10 + 2 * chunk, radius=0.5)
+    poses = synthetic.circular_trajectory(90 + 2 * chunk, radius=0.5)
     imgs = synthetic.render_sequence(scene, poses, cam, noise=2.0)
     s = SLAMSystem(cfg)
     i = 0
-    while s.carry is None and i < 10:
+    # the 2-deg parallax init gate needs a few dozen frames on this
+    # slow circle (bench.py uses the same 90-frame allowance)
+    while s.carry is None and i < 90:
         s.track(imgs[i], i)
         i += 1
     imgs_dev = jnp.asarray(imgs, jnp.float32)

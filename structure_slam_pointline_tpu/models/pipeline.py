@@ -65,6 +65,17 @@ class FrameOut(NamedTuple):
     # frame by fixed problem shapes (MAX_NEW_POINTS/LINES budgets +
     # BA_LOCAL_MP/LN caps) — fed to the host metrics registry. Plain-int
     # default: a jnp default would initialize the JAX backend at import.
+    # landmark-subsystem observability (round-4 verdict item 9): the
+    # allocation cursors + LIVE (valid) landmark counts after this frame.
+    # Packed into the chunk transfer so the host can derive per-chunk
+    # created/removed rates with ZERO extra device round-trips.
+    n_mp: jnp.ndarray | int = 0        # point allocation cursor
+    n_ml: jnp.ndarray | int = 0        # line allocation cursor
+    n_live_mp: jnp.ndarray | int = 0   # mp_valid.sum()
+    n_live_ml: jnp.ndarray | int = 0   # ml_valid.sum()
+    n_kf: jnp.ndarray | int = 0        # keyframe cursor — riding along in
+    # the packed transfer makes the steady-state host loop fetch-free
+    # (sync_cursors' three scalar fetches each paid a tunnel round trip)
 
 
 def build_frame_device(img: jnp.ndarray, intr: Intrinsics, cfg: SLAMConfig) -> Frame:
@@ -416,7 +427,11 @@ def slam_step(
         local_sets=local_sets,
     )
     return new_carry, FrameOut(T_cw=T_cw, ok=ok, n_inliers=n_inl,
-                               is_kf=need_kf, n_dropped=n_drop)
+                               is_kf=need_kf, n_dropped=n_drop,
+                               n_mp=n_mp, n_ml=n_ml,
+                               n_live_mp=state.mp_valid.sum().astype(jnp.int32),
+                               n_live_ml=state.ml_valid.sum().astype(jnp.int32),
+                               n_kf=n_kf)
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(0,))
@@ -438,7 +453,7 @@ def slam_scan(
 
 @jax.jit
 def pack_scan_out(outs: FrameOut) -> jnp.ndarray:
-    """[N]-batched FrameOut -> one [N, 20] array: the whole chunk's
+    """[N]-batched FrameOut -> one [N, 25] array: the whole chunk's
     results come back in a SINGLE device->host transfer (each array fetch
     pays a full tunnel round trip)."""
     n = outs.ok.shape[0]
@@ -448,12 +463,17 @@ def pack_scan_out(outs: FrameOut) -> jnp.ndarray:
         outs.n_inliers.astype(jnp.float32)[:, None],
         outs.is_kf.astype(jnp.float32)[:, None],
         jnp.asarray(outs.n_dropped, jnp.float32).reshape(n, 1),
+        jnp.asarray(outs.n_mp, jnp.float32).reshape(n, 1),
+        jnp.asarray(outs.n_ml, jnp.float32).reshape(n, 1),
+        jnp.asarray(outs.n_live_mp, jnp.float32).reshape(n, 1),
+        jnp.asarray(outs.n_live_ml, jnp.float32).reshape(n, 1),
+        jnp.asarray(outs.n_kf, jnp.float32).reshape(n, 1),
     ], axis=1)
 
 
 @jax.jit
 def pack_frame_out(out: FrameOut) -> jnp.ndarray:
-    """Pack per-frame outputs into one [20] vector so the host needs a
+    """Pack per-frame outputs into one [25] vector so the host needs a
     single small D2H transfer (tunnel round-trips dominate latency)."""
     return jnp.concatenate([
         out.T_cw.reshape(16),
@@ -461,6 +481,11 @@ def pack_frame_out(out: FrameOut) -> jnp.ndarray:
         out.n_inliers.astype(jnp.float32)[None],
         out.is_kf.astype(jnp.float32)[None],
         jnp.asarray(out.n_dropped, jnp.float32).reshape(1),
+        jnp.asarray(out.n_mp, jnp.float32).reshape(1),
+        jnp.asarray(out.n_ml, jnp.float32).reshape(1),
+        jnp.asarray(out.n_live_mp, jnp.float32).reshape(1),
+        jnp.asarray(out.n_live_ml, jnp.float32).reshape(1),
+        jnp.asarray(out.n_kf, jnp.float32).reshape(1),
     ])
 
 

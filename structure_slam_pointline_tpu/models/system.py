@@ -81,6 +81,12 @@ class SLAMSystem:
         self._loop_closer = None  # lazy: shared vocabulary + BoW index
         self._lc_processed_kf = 2  # keyframes already fed to loop closing
         self.localization_mode = False  # True: track only, never extend the map
+        # landmark-rate baseline [mp_cursor, ml_cursor, mp_live, ml_live]
+        # from the last packed FrameOut row; None = unknown (start of run,
+        # or invalidated by a host-side map mutation: compaction remaps
+        # cursors, loop correction fuses landmarks). Counting skips one
+        # chunk after invalidation rather than paying an extra D2H fetch.
+        self._lm_base: Optional[list] = None
 
     # ------------------------------------------------------------------ #
     # frame building
@@ -165,6 +171,7 @@ class SLAMSystem:
             self.metrics.count("frames_lost", int((~okk).sum()))
             self.metrics.count("keyframes", int(iskf.sum()))
             self.metrics.count("landmarks_clipped", int(ndrop.sum()))
+            self._count_landmark_deltas(packed[-1])
             T_out[i : i + c] = T
             ok_out[i : i + c] = okk
             inl_out[i : i + c] = inl
@@ -179,7 +186,12 @@ class SLAMSystem:
                       f"n_mp={self.cur.n_mp} n_ml={self.cur.n_ml} "
                       f"T_finite={bool(np.isfinite(T).all())}", flush=True)
             if iskf.any():
-                self.sync_cursors()
+                # cursors ride in the packed chunk output (cols 20/21/24):
+                # no device fetch — sync_cursors' scalar reads each paid a
+                # tunnel round trip, ~3 RTTs per keyframe chunk
+                self.cur.n_mp = int(packed[-1, 20])
+                self.cur.n_ml = int(packed[-1, 21])
+                self.cur.n_kf = int(packed[-1, 24])
                 self.maybe_compact()
             if self.cfg.enable_loop_closing and iskf.any():
                 self._loop_close_new_keyframes()
@@ -247,6 +259,7 @@ class SLAMSystem:
         n_inl = int(packed[17])
         is_kf = bool(packed[18] > 0.5)
         self._count_frame(ok, is_kf, int(packed[19]))
+        self._count_landmark_deltas(packed)
         if ok:
             if is_kf and self.cfg.enable_loop_closing:
                 self._loop_close_new_keyframes()
@@ -265,6 +278,23 @@ class SLAMSystem:
             self.metrics.count("keyframes")
         if n_dropped:
             self.metrics.count("landmarks_clipped", n_dropped)
+
+    def _count_landmark_deltas(self, row) -> None:
+        """Derive landmark-subsystem rate counters (round-4 verdict item 9:
+        the line map regressed to 7 lines one round and no artifact noticed)
+        from the packed FrameOut tail [mp_cursor, ml_cursor, mp_live,
+        ml_live] — created = cursor delta, removed (culled in-jit or fused)
+        = created - live delta. Purely host arithmetic on data already
+        fetched; skips the first observation after a baseline invalidation."""
+        cur = [int(row[20]), int(row[21]), int(row[22]), int(row[23])]
+        base = self._lm_base
+        if base is not None and cur[0] >= base[0] and cur[1] >= base[1]:
+            mp_new, ml_new = cur[0] - base[0], cur[1] - base[1]
+            self.metrics.count("points_created", mp_new)
+            self.metrics.count("lines_created", ml_new)
+            self.metrics.count("points_removed", mp_new - (cur[2] - base[2]))
+            self.metrics.count("lines_removed", ml_new - (cur[3] - base[3]))
+        self._lm_base = cur
 
     def _loop_close_new_keyframes(self) -> None:
         """Feed every keyframe inserted since the last call through the
@@ -458,6 +488,7 @@ class SLAMSystem:
         n_inl = int(packed[17])
         is_kf = bool(packed[18] > 0.5)
         self._count_frame(ok, is_kf, int(packed[19]))
+        self._count_landmark_deltas(packed)
         self.state = TrackingState.OK if ok else TrackingState.LOST
         if ok:
             self.last_T = np.asarray(T)
@@ -547,6 +578,8 @@ class SLAMSystem:
             S, _n = ver
             new_state = lc.correct(self.map, self.cur.n_kf, k, cand.kf_id, S)
             self.metrics.count("loop_corrected")
+            self._lm_base = None  # correction fuses landmarks: rate
+            # counters re-baseline on the next chunk
             # the reference follows CorrectLoop with a detached global-BA
             # thread (LoopClosing.cc:584 -> RunGlobalBundleAdjustment);
             # here it runs inline — loop closures are rare and the Schur
@@ -677,6 +710,7 @@ class SLAMSystem:
             self._lc_processed_kf = _remap_kf_cursor(
                 perm_np, self._lc_processed_kf)
         if changed:
+            self._lm_base = None  # cursors renumbered: re-baseline rates
             self.map = st
             self.carry = self.carry._replace(
                 state=st,
@@ -694,11 +728,16 @@ class SLAMSystem:
             self.cur.n_kf, self.cur.n_mp, self.cur.n_ml = n_kf, n_mp, n_ml
 
     def sync_cursors(self) -> None:
-        """Pull allocation cursors from the device carry (one small D2H)."""
+        """Pull allocation cursors from the device carry — ONE device_get
+        (async copies issued together, single blocking wait) instead of
+        three sequential scalar fetches: each fetch pays a full tunnel
+        round trip on the remote TPU backend."""
         if self.carry is not None:
-            self.cur.n_kf = int(self.carry.n_kf)
-            self.cur.n_mp = int(self.carry.n_mp)
-            self.cur.n_ml = int(self.carry.n_ml)
+            c = self.carry
+            n_kf, n_mp, n_ml = jax.device_get((c.n_kf, c.n_mp, c.n_ml))
+            self.cur.n_kf = int(n_kf)
+            self.cur.n_mp = int(n_mp)
+            self.cur.n_ml = int(n_ml)
 
     def trajectory(self) -> dict:
         """frame_id -> T_cw for all tracked frames."""

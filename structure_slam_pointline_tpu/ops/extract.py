@@ -63,24 +63,26 @@ def extract_orb(img: jnp.ndarray, cfg: FrontendConfig, n_keypoints: int | None =
         img.astype(jnp.bfloat16), cfg.n_levels, cfg.scale_factor, cfg.blur_sigma
     )
 
-    parts = []
-    for lv in range(cfg.n_levels):
-        k_lv = budgets[lv]
-        if k_lv <= 0:
-            continue
+    # score every level, then select with ONE fused top_k per stage across
+    # levels (select_keypoints_levels: per-level top_k is the profiled
+    # frontend hot spot — identical candidates/ranking, batched sorts)
+    lvs = [lv for lv in range(cfg.n_levels) if budgets[lv] > 0]
+    score_raw = []
+    for lv in lvs:
         raw = fast.fast_score(levels[lv])
-        score = fast.nms3(raw)
-        xy, resp, valid = fast.select_keypoints(
-            score,
-            k=k_lv,
-            cell=cfg.cell_size,
-            cell_cap=8,
-            threshold=cfg.fast_threshold,
-            min_threshold=cfg.fast_min_threshold,
-            border=orb.PATCH_RADIUS + 1,
-            raw=raw,
-            rank_priority=False,
-        )
+        score_raw.append((fast.nms3(raw), raw))
+    sels = fast.select_keypoints_levels(
+        score_raw,
+        ks=[budgets[lv] for lv in lvs],
+        cell=cfg.cell_size,
+        cell_cap=8,
+        threshold=cfg.fast_threshold,
+        min_threshold=cfg.fast_min_threshold,
+        border=orb.PATCH_RADIUS + 1,
+    )
+    parts = []
+    for lv, (xy, resp, valid) in zip(lvs, sels):
+        k_lv = budgets[lv]
         ang, desc = orb.orient_and_describe(blurred[lv], xy)
         xy0 = xy * scales[lv]  # map to level-0 coords
         octv = jnp.full((k_lv,), lv, jnp.int32)

@@ -74,31 +74,40 @@ def _rotated_tables() -> np.ndarray:
         rot = pat @ R.T
         tables.append(np.round(rot).astype(np.int32))
     t = np.stack(tables)
-    assert np.abs(t).max() <= PATCH_RADIUS
+    # rotation preserves |offset| <= _MAX_OFF; rounding keeps each
+    # coordinate within the same bound, so every tap lives in the central
+    # (2*_MAX_OFF+1)^2 patch window (the tap matmul below exploits this)
+    assert np.abs(t).max() <= _MAX_OFF
     return t
 
 _TABLES = jnp.asarray(_rotated_tables())  # [32, 256, 2, 2]
 
 
+_TAP = 2 * _MAX_OFF + 1  # 27: all rotated taps live in this central window
+
+
 def _diff_matrix() -> np.ndarray:
-    """[N_ROT * N_PAIRS, PATCH^2] float: +1 at tap 0, -1 at tap 1 per pair.
+    """[N_ROT * N_PAIRS, _TAP^2] float: +1 at tap 0, -1 at tap 1 per pair.
 
     Turns the per-keypoint descriptor tap gather into one MXU matmul:
     (patch @ W.T)[pair] = I(p0) - I(p1), so bit = (diff < 0) == (I(p0) < I(p1)).
     TPU element gathers run on the scalar core (~8 ns/element — the profiled
     bottleneck); this formulation keeps descriptor extraction on the MXU.
+    The contraction runs over the central 27x27 tap window only (taps are
+    bounded by _MAX_OFF): 729 vs 961 rows is -24% off the frontend's
+    single largest matmul, exactly.
     """
-    tables = _rotated_tables()  # [32, 256, 2, 2] (dx, dy)
-    lin = (tables[..., 1] + PATCH_RADIUS) * PATCH + (tables[..., 0] + PATCH_RADIUS)
-    w = np.zeros((N_ROT, N_PAIRS, PATCH * PATCH), np.float32)
+    tables = _rotated_tables()  # [N_ROT, 256, 2, 2] (dx, dy)
+    lin = (tables[..., 1] + _MAX_OFF) * _TAP + (tables[..., 0] + _MAX_OFF)
+    w = np.zeros((N_ROT, N_PAIRS, _TAP * _TAP), np.float32)
     b_idx = np.repeat(np.arange(N_ROT), N_PAIRS)
     t_idx = np.tile(np.arange(N_PAIRS), N_ROT)
     np.add.at(w, (b_idx, t_idx, lin[..., 0].reshape(-1)), 1.0)
     np.add.at(w, (b_idx, t_idx, lin[..., 1].reshape(-1)), -1.0)
-    return w.reshape(N_ROT * N_PAIRS, PATCH * PATCH)
+    return w.reshape(N_ROT * N_PAIRS, _TAP * _TAP)
 
 
-_WDIFF_T = jnp.asarray(_diff_matrix().T, jnp.bfloat16)  # [961, 32*256]
+_WDIFF_T = jnp.asarray(_diff_matrix().T, jnp.bfloat16)  # [729, N_ROT*256]
 
 # circular mask + coordinate grids for IC_Angle (u_max circle like the reference)
 _yy, _xx = np.mgrid[-PATCH_RADIUS : PATCH_RADIUS + 1, -PATCH_RADIUS : PATCH_RADIUS + 1]
@@ -190,7 +199,9 @@ def describe(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
     rot_idx = jnp.mod(
         jnp.round(angles / (2.0 * jnp.pi) * N_ROT).astype(jnp.int32), N_ROT
     )
-    flat = patches.reshape(k, PATCH * PATCH).astype(jnp.bfloat16)
+    c0 = PATCH_RADIUS - _MAX_OFF
+    flat = patches[:, c0 : c0 + _TAP, c0 : c0 + _TAP] \
+        .reshape(k, _TAP * _TAP).astype(jnp.bfloat16)
     diffs = jax.lax.dot_general(
         flat, _WDIFF_T, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -124,3 +124,30 @@ class TestExtract:
         med = np.median(d_xy, axis=0)
         frac = (np.abs(d_xy - med) < 20).all(axis=1).mean()
         assert frac > 0.6
+
+
+class TestBatchedSelection:
+    def test_matches_per_level_select_exactly(self):
+        """select_keypoints_levels must reproduce per-level select_keypoints
+        bit-for-bit (same candidates, ranking, sub-pixel refinement): the
+        batched path exists purely to fuse the per-level top_k sorts (the
+        profiled frontend hot spot) into one call per stage."""
+        rng = np.random.default_rng(3)
+        shapes = [(120, 160), (100, 133), (84, 111)]
+        ks = [90, 75, 62]
+        score_raw = []
+        olds = []
+        for (h, w) in shapes:
+            raw = jnp.asarray(rng.uniform(0, 60, (h, w)).astype(np.float32))
+            score_raw.append((fast.nms3(raw), raw))
+        for (score, raw), k in zip(score_raw, ks):
+            olds.append(fast.select_keypoints(
+                score, k=k, cell=16, cell_cap=8, threshold=20.0,
+                min_threshold=7.0, border=16, raw=raw, rank_priority=False))
+        news = fast.select_keypoints_levels(
+            score_raw, ks, cell=16, cell_cap=8, threshold=20.0,
+            min_threshold=7.0, border=16)
+        for (o, n) in zip(olds, news):
+            for name, a, b in zip(("xy", "resp", "valid"), o, n):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=name)
