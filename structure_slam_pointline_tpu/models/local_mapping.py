@@ -776,28 +776,44 @@ def fuse_projected_points(state: MapState, k_new: jnp.ndarray,
     b_ids = jnp.concatenate([nb_safe, k_new_b])       # [2W] target keyframes
     dir_present = jnp.concatenate([nb_present, nb_present])
 
+    # ONE wide row per landmark for the per-direction gathers: the five
+    # narrow field gathers (xyz/dist/normal/desc) from the [P] pool were
+    # the keyframe pipeline's single largest device cost (profiled
+    # ~440 us/frame amortized — TPU gathers run on the scalar core and
+    # cost per row, so 5 narrow gathers x 2W directions ~ 5x one wide
+    # one). Descriptors ride along bitcast to f32 (pure reinterpretation;
+    # no arithmetic touches them, so bit patterns survive the round trip).
+    mp_packed = jnp.concatenate([
+        state.mp_xyz,                                        # [:, 0:3]
+        state.mp_dist_min[:, None], state.mp_dist_max[:, None],  # 3, 4
+        state.mp_normal,                                     # [:, 5:8]
+        jax.lax.bitcast_convert_type(state.mp_desc, jnp.float32),  # 8:16
+    ], axis=1)                                               # [P, 16]
+
     def direction_match(a, b, pres):
         ids = state.kf_kp_mp[a]                        # [F] candidates
         has = (ids >= 0) & pres
         safe = jnp.clip(ids, 0, P - 1)
-        X = state.mp_xyz[safe]
+        rows = mp_packed[safe]                         # [F, 16] one gather
+        X = rows[:, 0:3]
+        dmin = rows[:, 3]
+        dmax = rows[:, 4]
+        nrm = rows[:, 5:8]
+        desc = jax.lax.bitcast_convert_type(rows[:, 8:16], jnp.uint32)
         T_b = state.kf_T_cw[b]
         pc = X @ T_b[:3, :3].T + T_b[:3, 3]
         uv, z = cam_utils.project(intr, pc)
         dist = jnp.linalg.norm(pc, axis=-1)
-        dmax = state.mp_dist_max[safe]
         no_band = (dmax <= 0.0) | (dmax >= 1e8)
         # full Fuse acceptance (reference ORBmatcher.cc:828-980): scale
         # band, viewing angle < 60 deg, predicted octave — without these
         # a dense repeating wall merges DISTINCT landmarks wherever
         # projections collide (observed: tracking died in ~30 frames on
         # a rotating dense scene; gating recovers no_fuse's survival)
-        band_ok = no_band | ((dist >= state.mp_dist_min[safe] * 0.8)
-                             & (dist <= dmax * 1.2))
+        band_ok = no_band | ((dist >= dmin * 0.8) & (dist <= dmax * 1.2))
         cam_c = -T_b[:3, :3].T @ T_b[:3, 3]
         ray = X - cam_c
         ray = ray / jnp.maximum(jnp.linalg.norm(ray, axis=-1, keepdims=True), 1e-9)
-        nrm = state.mp_normal[safe]
         has_nrm = jnp.linalg.norm(nrm, axis=-1) > 0.5
         view_ok = jnp.where(has_nrm, jnp.sum(ray * nrm, axis=-1) > 0.5, True)
         pred_oct = matching.predict_octave(
@@ -808,7 +824,7 @@ def fuse_projected_points(state: MapState, k_new: jnp.ndarray,
         allow = matching.window_mask(
             uv, vis, state.kf_xy[b], state.kf_kp_valid[b], radius,
             kp_octave=state.kf_octave[b], pred_octave=pred_oct, octave_slack=1)
-        D = hamming.hamming_matrix(state.mp_desc[safe], state.kf_desc[b])
+        D = hamming.hamming_matrix(desc, state.kf_desc[b])
         m = matching.masked_match(D, allow, max_dist=cfg.matching.th_low)
         # chi2 gate on the matched reprojection residual at the feature's
         # octave (ORBmatcher.cc:905: e2 <= 5.99 * sigma2), tighter than

@@ -139,8 +139,12 @@ def pose_optimize(
     pt_info = 1.0 / jnp.maximum(pt_sigma2, 1e-12)
     ln_info = 1.0 / jnp.maximum(ln_sigma2, 1e-12)
 
-    Xp = pts_w.T                                    # [3, N]
-    Xl = jnp.concatenate([line_sw, line_ew]).T      # [3, 2M] (starts, ends)
+    # ONE flat landmark tensor: point positions then line start/end points.
+    # The pose LM is kernel-launch-bound on TPU (40 GN iterations of
+    # us-scale fused ops — profiled ~715 us/frame across both tracking
+    # passes), so the point and line projections share a single
+    # elementwise chain instead of two _edge_planes calls per iteration.
+    X_all = jnp.concatenate([pts_w, line_sw, line_ew]).T   # [3, N + 2M]
     obs_u = obs_uv[:, 0]
     obs_v = obs_uv[:, 1]
     l0 = jnp.concatenate([line_obs[:, 0]] * 2)      # [2M]
@@ -153,16 +157,15 @@ def pose_optimize(
         Point rows: r = obs - proj (so J = -J_uv). Line endpoint rows:
         e = l . (u, v, 1) with J = l0*Ju + l1*Jv (lineEdge.h:60-114).
         """
-        u, v, z, Ju, Jv = _edge_planes(T, Xp, intr)
-        ru = obs_u - u
-        rv = obs_v - v
+        u, v, z, Ju, Jv = _edge_planes(T, X_all, intr)
+        ru = obs_u - u[:N]
+        rv = obs_v - v[:N]
         pt_chi2 = (ru * ru + rv * rv) * pt_info
-        lu, lv, lz, lJu, lJv = _edge_planes(T, Xl, intr)
-        e = l0 * lu + l1 * lv + l2                   # [2M]
+        e = l0 * u[N:] + l1 * v[N:] + l2             # [2M]
         ln_chi2_ep = (e * e) * jnp.concatenate([ln_info] * 2)
-        Jl = l0[None, :] * lJu + l1[None, :] * lJv   # [6, 2M]
-        return dict(ru=ru, rv=rv, z=z, Ju=Ju, Jv=Jv,
-                    e=e, lz=lz, Jl=Jl,
+        Jl = l0[None, :] * Ju[:, N:] + l1[None, :] * Jv[:, N:]  # [6, 2M]
+        return dict(ru=ru, rv=rv, z=z[:N], Ju=Ju[:, :N], Jv=Jv[:, :N],
+                    e=e, lz=z[N:], Jl=Jl,
                     pt_chi2=pt_chi2, ln_chi2_ep=ln_chi2_ep)
 
     def build_normal_eqs(ep, pt_inf, ln_inf):
@@ -176,13 +179,18 @@ def pose_optimize(
         w = jnp.concatenate([wp, wp, wl])                            # [R]
         r = jnp.concatenate([ep["ru"], ep["rv"], ep["e"]])           # [R]
         Jw = J * w[None, :]
-        H = jax.lax.dot_general(Jw, J, (((1,), (1,)), ((), ())),
-                                preferred_element_type=dtype)        # [6, 6]
         # point rows: J_r = -J_uv -> g = -sum w J_r r = +Jw r
         # line rows:  J_r = +Jl  -> g = -Jw e
         sign = jnp.concatenate([
             jnp.ones(2 * N, dtype), -jnp.ones(2 * M, dtype)])
-        g = Jw @ (r * sign)
+        # H and g from ONE contraction: Jw [6, R] x [J; r*sign] [7, R]
+        # -> [6, 7] (H | g). One dot per GN iteration instead of two —
+        # the LM is kernel-count-bound, not FLOPs-bound.
+        Hg = jax.lax.dot_general(
+            Jw, jnp.concatenate([J, (r * sign)[None, :]], axis=0),
+            (((1,), (1,)), ((), ())), preferred_element_type=dtype)
+        H = Hg[:, :6]                                                # [6, 6]
+        g = Hg[:, 6]
         cost = (jnp.sum(jnp.minimum(ep["pt_chi2"], cfg.chi2_mono * 4) * pt_inf)
                 + jnp.sum(jnp.minimum(ep["ln_chi2_ep"], cfg.chi2_line * 4)
                           * jnp.concatenate([ln_inf] * 2)))
